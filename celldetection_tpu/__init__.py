@@ -1,0 +1,15 @@
+"""celldetection_tpu — TPU-native cell instance segmentation with Contour Proposal Networks.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the
+``celldetection`` PyTorch library (FZJ-INM1-BDA/celldetection): CPN models,
+backbones, target encoding, instance metrics, tiled gigapixel inference, and
+multi-chip sharded execution on TPU meshes.
+
+Typical usage::
+
+    import celldetection_tpu as cdt
+    model = cdt.models.CpnU22(in_channels=3)
+    detections = model(images)          # NCHW or NHWC uint8/float
+"""
+from .__meta__ import __version__
+from . import ops

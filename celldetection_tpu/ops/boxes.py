@@ -1,0 +1,190 @@
+"""Box math and NMS — TPU-native (pure jnp, static shapes).
+
+Behavioral reference: ``celldetection/ops/boxes.py`` (nms :24, box voting :53-83,
+contours2boxes :86, pairwise IoU/GIoU :101-126) and the exact-greedy semantics
+of ``torch.ops.torchvision.nms`` used by the reference's main path
+(``celldetection/ops/cpn.py:189-227``).
+
+Design notes (TPU):
+    - ``nms_padded`` implements *exact greedy* NMS on capacity-padded inputs as
+      a blocked sweep: sort by score, then per tile of ``tile`` boxes run a
+      short sequential suppression (a ``fori_loop`` of vector ops) followed by
+      one dense [tile, N] IoU suppression of all later boxes. This keeps the
+      O(N^2) work in large matrix ops that XLA tiles onto the MXU/VPU while
+      preserving the sequential-greedy keep set bit-for-bit.
+    - All functions carry validity masks instead of ragged shapes.
+"""
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    'contours2boxes', 'box_area', 'box_iou', 'pairwise_box_iou', 'pairwise_generalized_box_iou',
+    'nms_padded', 'nms_indices', 'filter_by_box_voting', 'remove_small_boxes_mask',
+]
+
+
+def contours2boxes(contours: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    """Contours → boxes in (x0, y0, x1, y1) format.
+
+    Args:
+        contours: ``Array[(...,) num_points, 2]``.
+        axis: The ``num_points`` axis.
+    """
+    return jnp.concatenate((contours.min(axis), contours.max(axis)), axis + (axis < 0))
+
+
+def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    return (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+
+
+def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Full IoU matrix ``Array[n, m]`` of two box sets."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[:, None] + area2[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.)
+
+
+def _pairwise_inter_union(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    return inter, union
+
+
+def pairwise_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 0.) -> jnp.ndarray:
+    """Aligned (element-wise) IoU of two equal-length box sets, ``Array[n]``."""
+    inter, union = _pairwise_inter_union(boxes1, boxes2)
+    return jnp.abs(inter / (union + eps))
+
+
+def pairwise_generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 0.) -> jnp.ndarray:
+    """Aligned GIoU of two equal-length box sets, ``Array[n]``."""
+    inter, union = _pairwise_inter_union(boxes1, boxes2)
+    iou = inter / (union + eps)
+    lti = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rbi = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    whi = jnp.clip(rbi - lti, 0)
+    areai = whi[..., 0] * whi[..., 1]
+    return iou - (areai - union) / (areai + eps)
+
+
+def remove_small_boxes_mask(boxes: jnp.ndarray, min_size: float) -> jnp.ndarray:
+    """Bool mask of boxes with both sides >= ``min_size``."""
+    ws = boxes[..., 2] - boxes[..., 0]
+    hs = boxes[..., 3] - boxes[..., 1]
+    return (ws >= min_size) & (hs >= min_size)
+
+
+@partial(jax.jit, static_argnames=('iou_threshold', 'tile'))
+def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+               iou_threshold: float, tile: int = 128) -> jnp.ndarray:
+    """Exact-greedy NMS on capacity-padded boxes.
+
+    Matches ``torchvision.ops.nms`` keep semantics: boxes are visited in
+    descending score order; a box is kept iff it has IoU <= ``iou_threshold``
+    with every *kept* higher-scoring box.
+
+    Args:
+        boxes: ``Array[N, 4]`` (x0, y0, x1, y1); padded entries arbitrary.
+        scores: ``Array[N]``.
+        valid: ``Array[N]`` bool; padded entries False.
+        iou_threshold: Suppression threshold (strictly-greater comparison).
+        tile: Block size of the suppression sweep.
+
+    Returns:
+        Bool keep mask ``Array[N]`` in the *original* box order (False for
+        invalid entries).
+    """
+    n = boxes.shape[0]
+    n_pad = (-n) % tile
+    order = jnp.argsort(jnp.where(valid, scores, -jnp.inf), descending=True)
+    if n_pad:
+        order_p = jnp.concatenate([order, jnp.zeros((n_pad,), order.dtype)])
+    else:
+        order_p = order
+    np_tot = n + n_pad
+    b = boxes[order_p]
+    v = valid[order_p]
+    if n_pad:
+        v = v & (jnp.arange(np_tot) < n)
+    keep = v
+
+    num_tiles = np_tot // tile
+    pos = jnp.arange(np_tot)
+
+    def tile_body(i, keep):
+        start = i * tile
+        rows = jax.lax.dynamic_slice_in_dim(b, start, tile, 0)          # [T, 4]
+        k = jax.lax.dynamic_slice_in_dim(keep, start, tile, 0)           # [T]
+        iou_rr = box_iou(rows, rows)                                     # [T, T]
+        tri = jnp.arange(tile)
+
+        def inner(j, k):
+            sup = (iou_rr[j] > iou_threshold) & (tri > j) & k[j]
+            return k & ~sup
+
+        k = jax.lax.fori_loop(0, tile, inner, k)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, k, start, 0)
+        # Suppress all strictly-later boxes against this tile's kept rows.
+        iou_rn = box_iou(rows, b)                                        # [T, N]
+        sup_any = jnp.any((iou_rn > iou_threshold) & k[:, None], 0)
+        keep = keep & ~(sup_any & (pos >= start + tile))
+        return keep
+
+    keep = jax.lax.fori_loop(0, num_tiles, tile_body, keep)
+    # Scatter back to original order.
+    out = jnp.zeros((n,), bool)
+    out = out.at[order_p[:np_tot]].max(keep)
+    return out & valid
+
+
+def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+                iou_threshold: float, tile: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NMS returning score-sorted keep indices (padded) + validity mask.
+
+    Returns:
+        ``(indices, keep_valid)`` — both ``Array[N]``; indices are positions in
+        the input arrays sorted by descending score, entries with
+        ``keep_valid == False`` are padding.
+    """
+    keep = nms_padded(boxes, scores, valid, iou_threshold, tile=tile)
+    order = jnp.argsort(jnp.where(keep, scores, -jnp.inf), descending=True)
+    keep_sorted = keep[order]
+    return order, keep_sorted
+
+
+def get_iou_voting(boxes: jnp.ndarray, thresh: float, valid: jnp.ndarray = None) -> jnp.ndarray:
+    """Sum of IoUs > thresh against all (valid) boxes, including self."""
+    iou = box_iou(boxes, boxes)
+    iou = iou * (iou > thresh)
+    if valid is not None:
+        iou = iou * valid[None, :]
+    return iou.sum(-1)
+
+
+def filter_by_box_voting(boxes: jnp.ndarray, thresh: float, min_vote: float,
+                         valid: jnp.ndarray = None, return_votes: bool = False):
+    """Keep mask of boxes whose IoU-vote sum reaches ``min_vote``.
+
+    A box votes for itself (vote 1.0) and every box overlapping it with
+    IoU > ``thresh`` adds its IoU to the vote.
+    """
+    votes = get_iou_voting(boxes, thresh, valid)
+    mask = votes >= min_vote
+    if valid is not None:
+        mask = mask & valid
+    if return_votes:
+        return mask, votes
+    return mask

@@ -1,0 +1,151 @@
+"""Loss ops — TPU-native (pure jnp, masked static-shape reductions).
+
+Behavioral reference: ``celldetection/ops/loss.py`` — ``reduce_loss`` (:11),
+``log_margin_loss`` (:32), ``margin_loss`` (:42), ``iou_loss`` (:90),
+``box_npll_loss`` (:113); plus ``torchvision.ops.sigmoid_focal_loss`` used by
+``celldetection/models/loss.py:42``.
+
+Design note: where the reference filters invalid boxes by dropping rows
+(``remove_small_boxes``), these functions take a validity mask and compute
+masked means, keeping shapes static under jit.
+"""
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_box_iou, pairwise_generalized_box_iou, remove_small_boxes_mask
+
+__all__ = [
+    'reduce_loss', 'masked_mean', 'log_margin_loss', 'margin_loss', 'iou_loss', 'box_npll_loss',
+    'sigmoid_focal_loss', 'l1_loss', 'bce_with_logits', 'cross_entropy',
+]
+
+
+def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], eps: float = 1e-12) -> jnp.ndarray:
+    """Mean of ``x`` over entries where ``mask`` is True (0 if mask empty).
+
+    ``mask`` broadcasts against ``x`` from the left (per-row masks apply to all
+    trailing element dims).
+    """
+    if mask is None:
+        return jnp.mean(x)
+    mask = jnp.broadcast_to(jnp.reshape(mask, mask.shape + (1,) * (x.ndim - mask.ndim)), x.shape)
+    denom = jnp.sum(mask)
+    return jnp.sum(jnp.where(mask, x, 0.)) / jnp.maximum(denom, eps)
+
+
+def reduce_loss(x: jnp.ndarray, reduction: str, mask: Optional[jnp.ndarray] = None):
+    if reduction == 'none':
+        return x
+    if reduction == 'mean':
+        return masked_mean(x, mask)
+    if reduction == 'sum':
+        if mask is not None:
+            mask = jnp.broadcast_to(jnp.reshape(mask, mask.shape + (1,) * (x.ndim - mask.ndim)), x.shape)
+            x = jnp.where(mask, x, 0.)
+        return jnp.sum(x)
+    raise ValueError(f'Unknown reduction: {reduction}')
+
+
+def l1_loss(inputs: jnp.ndarray, targets: jnp.ndarray, reduction: str = 'mean',
+            mask: Optional[jnp.ndarray] = None):
+    return reduce_loss(jnp.abs(inputs - targets), reduction, mask)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray, reduction: str = 'mean',
+                    mask: Optional[jnp.ndarray] = None):
+    """Numerically-stable binary cross entropy on logits."""
+    loss = jnp.clip(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return reduce_loss(loss, reduction, mask)
+
+
+def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray, reduction: str = 'mean',
+                  mask: Optional[jnp.ndarray] = None):
+    """Softmax cross entropy with integer targets over the last axis."""
+    logp = jax.nn.log_softmax(logits, -1)
+    loss = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), -1)[..., 0]
+    return reduce_loss(loss, reduction, mask)
+
+
+def sigmoid_focal_loss(logits: jnp.ndarray, targets: jnp.ndarray, alpha: float = .25, gamma: float = 2.,
+                       reduction: str = 'mean', mask: Optional[jnp.ndarray] = None):
+    """Focal loss (RetinaNet; parity with torchvision.ops.sigmoid_focal_loss)."""
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.clip(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    return reduce_loss(loss, reduction, mask)
+
+
+def log_margin_loss(inputs: jnp.ndarray, targets: jnp.ndarray, m_pos: float = .9, m_neg=None,
+                    exponent: float = 1, reduction: str = 'mean', eps: float = 1e-6,
+                    mask: Optional[jnp.ndarray] = None):
+    if m_neg is None:
+        m_neg = 1 - m_pos
+    pos = jax.nn.relu(jnp.log(m_pos / (inputs + eps))) ** exponent
+    neg = jax.nn.relu(jnp.log((1 - m_neg) / (1 - inputs + eps))) ** exponent
+    loss = targets * pos + (1 - targets) * neg
+    return reduce_loss(loss, reduction, mask)
+
+
+def margin_loss(inputs: jnp.ndarray, targets: jnp.ndarray, m_pos: float = .9, m_neg=None,
+                exponent: float = 2, reduction: str = 'mean', mask: Optional[jnp.ndarray] = None):
+    if m_neg is None:
+        m_neg = 1 - m_pos
+    pos = jax.nn.relu(m_pos - inputs) ** exponent
+    neg = jax.nn.relu(inputs - m_neg) ** exponent
+    loss = targets * pos + (1 - targets) * neg
+    return reduce_loss(loss, reduction, mask)
+
+
+def iou_loss(boxes: jnp.ndarray, boxes_targets: jnp.ndarray, reduction: str = 'mean',
+             generalized: bool = True, method: str = 'linear', min_size: Optional[float] = None,
+             mask: Optional[jnp.ndarray] = None, eps: float = 1e-8):
+    """(G)IoU box loss with masked static-shape filtering.
+
+    ``min_size`` removes degenerate boxes from the loss via the mask (the
+    reference drops rows: ``celldetection/ops/loss.py:90-93``).
+    """
+    if min_size is not None:
+        size_mask = remove_small_boxes_mask(boxes, min_size)
+        mask = size_mask if mask is None else (mask & size_mask)
+    if generalized:
+        iou = pairwise_generalized_box_iou(boxes, boxes_targets, eps=eps)
+    else:
+        iou = pairwise_box_iou(boxes, boxes_targets, eps=eps)
+    if method == 'log':
+        if generalized:
+            iou = iou * .5 + .5
+        loss = -jnp.log(iou + 1e-8)
+    elif method == 'linear':
+        loss = 1 - iou
+    else:
+        raise ValueError(f'Unknown method: {method}')
+    return reduce_loss(loss, reduction, mask)
+
+
+def box_npll_loss(uncertainty: jnp.ndarray, boxes: jnp.ndarray, boxes_targets: jnp.ndarray,
+                  factor: float = 10., sigmoid: bool = False, epsilon: float = 1e-8,
+                  reduction: str = 'mean', min_size: Optional[float] = None,
+                  mask: Optional[jnp.ndarray] = None):
+    """Negative power log-likelihood box-uncertainty loss (ref: 2006.15607).
+
+    Args:
+        uncertainty: ``Array[n, 4]`` predicted (sigmoid-activated unless
+            ``sigmoid=True``) uncertainties.
+        boxes / boxes_targets: ``Array[n, 4]``.
+    """
+    if min_size is not None:
+        size_mask = remove_small_boxes_mask(boxes, min_size)
+        mask = size_mask if mask is None else (mask & size_mask)
+    delta_sq = jnp.square((jax.nn.sigmoid(uncertainty) if sigmoid else uncertainty) * factor)
+    a = jnp.square(boxes - boxes_targets) / (2 * delta_sq + epsilon)
+    b = 0.5 * jnp.log(delta_sq + epsilon)
+    iou = pairwise_box_iou(boxes, boxes_targets)
+    loss = iou * ((a + b).sum(-1) + 2 * math.log(2 * math.pi))
+    return reduce_loss(loss, reduction, mask)
