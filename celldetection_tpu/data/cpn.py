@@ -1,0 +1,506 @@
+"""CPN target encoding — host-side (numpy/cv2/scipy).
+
+Elliptic Fourier descriptors, label↔contour conversion, distance-transform
+based fg/bg masking, and the training-target generator.
+
+Behavioral reference: ``celldetection/data/cpn.py`` — ``efd`` (:23),
+``labels2contours`` (:93), ``masks2labels`` (:147), ``fourier2contour``
+(:179), ``contours2fourier`` (:213), ``contours2boxes`` (:230),
+``render_contour`` (:246), ``contours2labels`` (:292),
+``resolve_label_channels`` (:361), ``mask_labels_by_distance_`` (:424),
+``labels2distances`` (:461), ``CPNTargetGenerator`` (:500).
+
+The EFD math follows Kuhl & Giardina (1982) with arc-length parameterization;
+coefficient layout per order is (a, b, c, d): x(t) = A0 + Σ a cos + b sin,
+y(t) = C0 + Σ c cos + d sin.
+"""
+from collections import OrderedDict
+
+import cv2
+import numpy as np
+
+from ._regionprops import regionprops
+from .misc import resample_contours
+from .segmentation import filter_instances_
+
+__all__ = [
+    'CPNTargetGenerator', 'efd', 'labels2contours', 'labels2contour_list', 'masks2labels',
+    'fourier2contour', 'contours2fourier', 'contours2boxes', 'render_contour', 'clip_contour_',
+    'contours2labels', 'resolve_label_channels', 'contours2properties', 'filter_contours_by_intensity',
+    'draw_contours', 'mask_labels_by_distance_', 'labels2distances', 'contours2overlay',
+]
+
+
+def efd(contour, order: int = 10, epsilon: float = 1e-6, autoclose: bool = True):
+    """Elliptic Fourier descriptor of closed 2d contours.
+
+    Args:
+        contour: ``Array[..., num_points, 2]`` — or an object-dtype array of
+            variable-length contours (each processed independently).
+        order: Descriptor order; 1 produces ellipses.
+        epsilon: Guards zero-length segments.
+        autoclose: Close contours whose endpoints differ.
+
+    Returns:
+        ``(coefficients, locations)`` — ``Array[..., order, 4]`` with layout
+        (a, b, c, d), and ``Array[..., 2]`` centroid locations (first contour
+        point plus the DC terms A0/C0).
+    """
+    if isinstance(contour, np.ndarray) and contour.dtype == object:
+        results = [efd(c, order=order, epsilon=epsilon) for c in contour]
+        coeffs = np.array([r[0] for r in results])
+        locs = np.array([r[1] for r in results])
+        return coeffs, locs
+
+    contour = np.asarray(contour, dtype=float)
+    if autoclose and not np.allclose(contour[..., 0, :], contour[..., -1, :]):
+        contour = np.concatenate((contour, contour[..., :1, :]), axis=-2)
+    else:
+        assert np.allclose(contour[..., 0, :], contour[..., -1, :]), (
+            'Contours must be closed (first point == last point).')
+
+    dxy = np.diff(contour, axis=-2)                          # (..., p, 2)
+    dt = np.sqrt(np.sum(np.square(dxy), axis=-1)) + epsilon  # (..., p)
+    t = np.concatenate([np.zeros(dt.shape[:-1] + (1,)), np.cumsum(dt, axis=-1)], -1)
+    T = t[..., -1:]                                          # total arc length
+
+    phi = (2 * np.pi) * t / T                                # (..., p + 1)
+    orders = np.arange(1, order + 1, dtype=phi.dtype)        # (order,)
+    # Kuhl-Giardina coefficient constants T / (2 k^2 pi^2)
+    const = T / (2. * np.square(orders) * np.square(np.pi))
+    phi_k = phi[..., None, :] * orders[..., None]            # (..., order, p+1)
+    d_cos = np.cos(phi_k[..., 1:]) - np.cos(phi_k[..., :-1])
+    d_sin = np.sin(phi_k[..., 1:]) - np.sin(phi_k[..., :-1])
+
+    vx = (dxy[..., 0] / dt)[..., None, :]                    # velocity components
+    vy = (dxy[..., 1] / dt)[..., None, :]
+    coefficients = np.stack([
+        const * np.sum(vx * d_cos, axis=-1),                 # a_k
+        const * np.sum(vx * d_sin, axis=-1),                 # b_k
+        const * np.sum(vy * d_cos, axis=-1),                 # c_k
+        const * np.sum(vy * d_sin, axis=-1),                 # d_k
+    ], axis=-1)
+
+    # DC terms A0/C0 relative to the first contour point.
+    xi = np.cumsum(dxy[..., 0], axis=-1) - (dxy[..., 0] / dt) * t[..., 1:]
+    delta = np.cumsum(dxy[..., 1], axis=-1) - (dxy[..., 1] / dt) * t[..., 1:]
+    t_sq_diff = np.diff(t ** 2, axis=-1)
+    a0 = np.sum((dxy[..., 0] / (2 * dt)) * t_sq_diff + xi * dt, axis=-1) / T[..., 0]
+    c0 = np.sum((dxy[..., 1] / (2 * dt)) * t_sq_diff + delta * dt, axis=-1) / T[..., 0]
+    locations = np.stack((contour[..., 0, 0] + a0, contour[..., 0, 1] + c0), axis=-1)
+    return np.array(coefficients), locations
+
+
+def fourier2contour(fourier: np.ndarray, locations: np.ndarray, samples: int = 64, sampling=None):
+    """Numpy twin of :func:`celldetection_tpu.ops.fouriers2contours`."""
+    order = fourier.shape[-2]
+    if sampling is None:
+        sampling = np.linspace(0, 1.0, samples)
+    samples = sampling.shape[-1]
+    sampling = sampling[..., None, :]
+    c = 2 * np.pi * np.arange(1, order + 1)[..., None] * sampling
+    c_cos, c_sin = np.cos(c), np.sin(c)
+    con = np.zeros(fourier.shape[:-2] + (samples, 2))
+    con += locations[..., None, :]
+    con += (fourier[..., None, (1, 3)] * c_sin[..., None]).sum(-3)
+    con += (fourier[..., None, (0, 2)] * c_cos[..., None]).sum(-3)
+    return con
+
+
+def labels2contours(labels: np.ndarray, mode=cv2.RETR_EXTERNAL, method=cv2.CHAIN_APPROX_NONE,
+                    flag_fragmented_inplace: bool = False, raise_fragmented: bool = True,
+                    constant: int = -1) -> dict:
+    """Label image → ``{label: contour}`` via ``cv2.findContours`` on per-instance crops.
+
+    Fragmented labels (multiple connected components) are flagged or raised.
+    """
+    if labels.ndim == 2:
+        labels = labels[..., None]
+    crops = []
+    contours = OrderedDict()
+    for channel in np.split(labels, labels.shape[2], 2):
+        crops += [(p.label, p.image, *p.bbox[:2]) for p in regionprops(channel[..., 0])]
+    for label, crop, oy, ox in crops:
+        crop_u8 = crop.astype(np.uint8)
+        r = cv2.findContours(crop_u8, mode=mode, method=method, offset=(ox, oy))
+        c = r[-2]  # compatible across cv2 versions
+        if len(c) != 1:
+            if flag_fragmented_inplace:
+                labels[labels == label] = constant
+            elif raise_fragmented:
+                raise ValueError('Object labeled with multiple connected components.')
+            continue
+        c, = c
+        if len(c) == 1:
+            c = np.concatenate((c, c), axis=0)  # min length 2
+        contours[label] = c
+    if labels.shape[2] > 1:
+        return OrderedDict(sorted(contours.items()))
+    return contours
+
+
+def labels2contour_list(labels: np.ndarray, **kwargs) -> list:
+    if labels.ndim == 2:
+        labels = labels[..., None]
+    return [np.squeeze(i, 1) for i in labels2contours(labels, **kwargs).values()]
+
+
+def masks2labels(masks, connectivity: int = 8, label_axis: int = 2, count: bool = False,
+                 reduce=np.max, keepdims: bool = True, **kwargs):
+    """Binary masks → label image via connected components."""
+    labels = []
+    cnt = 0
+    for m in masks:
+        a, b = cv2.connectedComponents(np.asarray(m, dtype=np.uint8), connectivity=connectivity, **kwargs)
+        if cnt > 0:
+            b[b > 0] += cnt
+        cnt += a - (1 if (a > 1 and 0 in b) else 0)
+        labels.append(b)
+    labels = np.stack(labels, label_axis)
+    if reduce is not None:
+        labels = reduce(labels, axis=label_axis, keepdims=keepdims)
+    return (labels, cnt) if count else labels
+
+
+def contours2fourier(contours: dict, order: int = 5, dtype=np.float32):
+    """Per-label EFD into dense ``(max_label, order, 4)`` / ``(max_label, 2)`` arrays."""
+    max_label = int(np.max(list(contours.keys()))) if len(contours) else 0
+    fouriers = np.zeros((max_label, order, 4), dtype=dtype)
+    locations = np.zeros((max_label, 2), dtype=dtype)
+    for key, contour in contours.items():
+        if contour.ndim == 3:
+            contour = contour.squeeze(1)
+        fourier, location = efd(contour, order)
+        fouriers[key - 1] = fourier
+        locations[key - 1] = location
+    return fouriers, locations
+
+
+def contours2boxes(contours: np.ndarray) -> np.ndarray:
+    """Contours → (x0, y0, x1, y1) boxes."""
+    if len(contours):
+        return np.concatenate((contours.min(1), contours.max(1)), 1)
+    return np.empty((0, 4))
+
+
+def render_contour(contour, val=1, dtype='int32', round=False, reference=None, thickness=-1):
+    """Rasterize one contour into a tight crop; returns (crop, (xmin, xmax), (ymin, ymax))."""
+    if reference is None:
+        reference = contour
+    xmin, ymin = np.floor(np.min(reference, axis=0)).astype('int')
+    xmax, ymax = np.ceil(np.max(reference, axis=0)).astype('int')
+    a = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=dtype)
+    if round:
+        contour = np.round(contour)
+    a = cv2.drawContours(a, [np.array(contour, dtype=np.int32).reshape((-1, 1, 2))], 0, val,
+                         thickness, offset=(-xmin, -ymin))
+    return a, (xmin, xmax), (ymin, ymax)
+
+
+def clip_contour_(contour: np.ndarray, size):
+    np.clip(contour[..., 0], 0, size[1], out=contour[..., 0])
+    np.clip(contour[..., 1], 0, size[0], out=contour[..., 1])
+
+
+def contours2labels(contours, size, rounded: bool = True, clip: bool = True, initial_depth: int = 1,
+                    gap: int = 3, dtype='int32', ioa_thresh: float = None, sort_by=None,
+                    sort_descending: bool = True, return_indices: bool = False):
+    """Contours → multi-channel label image (channels resolve overlaps).
+
+    See ``resolve_label_channels`` to flatten channels.
+    """
+    contours_ = contours
+    if sort_by is not None:
+        indices = np.argsort(sort_by)
+        if sort_descending:
+            indices = indices[::-1]
+        contours_ = (contours[i] for i in indices)
+    labels = np.zeros(tuple(size) + (initial_depth,), dtype=dtype)
+    lbl = 1
+    keep = []
+    for idx, contour in enumerate(contours_):
+        contour = np.array(contour, dtype=float)
+        if rounded:
+            contour = np.round(contour)
+        if clip:
+            clip_contour_(contour, np.array(size) - 1)
+        a, (xmin, xmax), (ymin, ymax) = render_contour(contour, val=lbl, dtype=dtype)
+        if ioa_thresh is not None:
+            m = a > 0
+            crp = (labels[ymin:ymin + a.shape[0], xmin:xmin + a.shape[1]] > 0).any(-1)
+            ioa = crp[m].sum() / max(m.sum(), 1)
+            if ioa > ioa_thresh:
+                continue
+            keep.append(idx)
+        lbl += 1
+        s = (labels[max(0, ymin - gap): gap + ymin + a.shape[0],
+                    max(0, xmin - gap): gap + xmin + a.shape[1]] > 0).sum((0, 1))
+        i = next(i for i in range(labels.shape[2] + 1) if not (i < labels.shape[2] and np.any(s[i])))
+        if i >= labels.shape[2]:
+            labels = np.concatenate((labels, np.zeros(size, dtype=dtype)[..., None]), axis=-1)
+        labels[ymin:ymin + a.shape[0], xmin:xmin + a.shape[1], i] += a
+    if return_indices:
+        return labels, keep
+    return labels
+
+
+def resolve_label_channels(labels: np.ndarray, method: str = 'dilation', max_iter: int = 999,
+                           kernel=(3, 3)) -> np.ndarray:
+    """Flatten a channelled label image; overlaps resolved by iterative dilation."""
+    if isinstance(kernel, (tuple, list)):
+        kernel = cv2.getStructuringElement(1, kernel)
+    mask_sm = np.sum(labels > 0, axis=-1)
+    mask = mask_sm > 1
+    if mask.any():
+        if method == 'dilation':
+            core = mask_sm == 1
+            lbl = np.zeros(labels.shape[:2], dtype='float64')
+            lbl[core] = labels.max(-1)[core]
+            for _ in range(max_iter):
+                lbl_prev = np.copy(lbl)
+                m = mask & (lbl <= 0)
+                if not np.any(m):
+                    break
+                lbl[m] = cv2.dilate(lbl, kernel=kernel)[m]
+                if np.allclose(lbl_prev, lbl):
+                    break
+        else:
+            raise ValueError(f'Invalid method: {method}')
+    else:
+        lbl = labels.max(-1)
+    return lbl.astype(labels.dtype)
+
+
+def contours2properties(contours, *properties, round=True, **kwargs):
+    """Region properties for each rasterized contour."""
+    from .misc import labels2properties
+    results = []
+    for con in contours:
+        m, (xmin, xmax), (ymin, ymax) = render_contour(con, dtype='int32', round=round)
+        results += labels2properties(m, *properties, offset=kwargs.pop('offset', (ymin, xmin)), **kwargs)
+    return results
+
+
+def filter_contours_by_intensity(img, contours, min_intensity=None, max_intensity=200, aggregate='mean'):
+    """Keep mask of contours whose interior intensity stays within bounds."""
+    keep = np.ones(len(contours), dtype=bool)
+    for idx, con in enumerate(contours):
+        m, (xmin, xmax), (ymin, ymax) = render_contour(con, dtype='uint8')
+        img_crop = img[ymin:ymin + m.shape[0], xmin:xmin + m.shape[1]]
+        m = m[:img_crop.shape[0], :img_crop.shape[1]].astype(bool)
+        val = getattr(np, aggregate)(img_crop[m])
+        if max_intensity is not None and val > max_intensity:
+            keep[idx] = False
+        elif min_intensity is not None and val < min_intensity:
+            keep[idx] = False
+    return keep
+
+
+def draw_contours(canvas, contours, val=(51, 255, 51), round=True, contour_idx=-1, thickness=2, **kwargs):
+    """Draw contour outlines onto a host-side canvas via cv2."""
+    contours = np.asarray(contours)
+    if canvas.ndim == 2 and isinstance(val, (list, tuple, np.ndarray)) and len(val) == 3:
+        canvas = cv2.cvtColor(canvas, cv2.COLOR_GRAY2RGB)
+    if contours.dtype.kind == 'f':
+        if round:
+            contours = contours.round()
+        contours = contours.astype(int)
+    return cv2.drawContours(canvas, contours, contour_idx, val, thickness, **kwargs)
+
+
+def contours2overlay(contours, size, colors=None, thickness=-1, rounded=True, clip=True, seed=None):
+    """RGBA instance overlay from contours (random HSV colors)."""
+    rng = np.random.RandomState(seed)
+    overlay = np.zeros(tuple(size) + (4,), dtype=np.uint8)
+    if contours is None or len(contours) == 0:
+        return overlay
+    for contour in contours:
+        contour = np.array(contour, dtype=float)
+        if rounded:
+            contour = np.round(contour)
+        if clip:
+            clip_contour_(contour, np.array(size) - 1)
+        hsv = np.uint8([[[rng.randint(0, 180), rng.randint(60, 256), rng.randint(128, 256)]]])
+        rgb = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)[0, 0]
+        a, (xmin, xmax), (ymin, ymax) = render_contour(contour, val=1, dtype='uint8', thickness=thickness)
+        sl = np.s_[ymin:ymin + a.shape[0], xmin:xmin + a.shape[1]]
+        m = a > 0
+        region = overlay[sl]
+        m = m[:region.shape[0], :region.shape[1]]
+        region[m] = tuple(int(v) for v in rgb) + (255,)
+    return overlay
+
+
+def mask_labels_by_distance_(labels: np.ndarray, distances: np.ndarray, max_bg_dist: float,
+                             min_fg_dist: float):
+    """Inplace: background ring → 0, uncertain ring → -1 (excluded from loss)."""
+    labels[np.logical_and(np.any(labels > 0, 2), distances <= max_bg_dist)] = 0
+    labels[np.logical_and(distances > max_bg_dist, distances < min_fg_dist)] = -1
+
+
+def _labels2distances_fg(labels, fg_mask_wo_overlap, distance_type):
+    dist = cv2.distanceTransform(fg_mask_wo_overlap.astype(np.uint8), distance_type, 3)
+    if labels.size > 0:
+        for p in regionprops(labels.max(-1) if labels.ndim == 3 else labels):
+            c = p.coords
+            indices = (c[:, 0], c[:, 1])
+            dist[indices] /= np.maximum(dist[indices].max(), 1e-6)
+    return dist
+
+
+def _labels2distances_instance(labels, fg_mask_wo_overlap, distance_type, protected_size=6 * 6):
+    dist = np.zeros_like(fg_mask_wo_overlap, dtype='float32')
+    if labels.size > 0:
+        for channel in range(labels.shape[2]):
+            for p in regionprops(labels[..., channel]):
+                y0, x0, y1, x1 = p.bbox
+                box_slices = (slice(y0, y1), slice(x0, x1))
+                mask = p.image & fg_mask_wo_overlap[box_slices]
+                d_ = cv2.distanceTransform(np.pad(mask.astype('uint8'), 1), distance_type, 3)[1:-1, 1:-1]
+                if mask.sum() > protected_size:
+                    d_max = d_.max()
+                    if d_max > 0:
+                        d_ /= d_max
+                d_ = d_.clip(0., 1.)
+                dist[box_slices][mask] = d_[mask]
+    return dist
+
+
+def labels2distances(labels: np.ndarray, distance_type=cv2.DIST_L2, overlap_zero: bool = True,
+                     per_instance: bool = True, **kwargs):
+    """Per-instance normalized distance transform (overlap → 0).
+
+    Returns ``(distances, labels)`` — distances in [0, 1] with instance
+    centers at 1; labels altered (overlap → -1) when ``overlap_zero``.
+    """
+    labels = np.copy(labels)
+    mask = labels > 0
+    if overlap_zero:
+        overlap_mask = np.sum(mask, 2) > 1
+        labels[overlap_mask] = -1
+        fg_mask_wo_overlap = np.sum(mask, 2) == 1
+    else:
+        fg_mask_wo_overlap = np.any(mask, 2)
+    if per_instance:
+        dist = _labels2distances_instance(labels, fg_mask_wo_overlap, distance_type, **kwargs)
+    else:
+        dist = _labels2distances_fg(labels, fg_mask_wo_overlap, distance_type, **kwargs)
+    return dist.clip(0., 1.), labels
+
+
+class CPNTargetGenerator:
+    """Training-target machine: label image → CPN targets.
+
+    ``feed(labels)`` filters instances, extracts contours, computes the
+    distance transform and fg/bg masking; lazy properties expose Fourier
+    coefficients, locations, sampled/resampled contours, and reduced labels.
+
+    Parity: ``celldetection/data/cpn.py:500-644``.
+    """
+
+    def __init__(self, samples: int, order: int, random_sampling: bool = True,
+                 remove_partials: bool = False, min_fg_dist: float = .75, max_bg_dist: float = .5,
+                 flag_fragmented: bool = True, flag_fragmented_constant: int = -1,
+                 rng: np.random.RandomState = None):
+        self.samples = samples
+        self.order = order
+        self.random_sampling = random_sampling
+        self.remove_partials = remove_partials
+        self.min_fg_dist = min_fg_dist
+        self.max_bg_dist = max_bg_dist
+        self.flag_fragmented = flag_fragmented
+        self.flag_fragmented_constant = flag_fragmented_constant
+        self.rng = rng or np.random
+
+        self.labels = None
+        self.labels_red = None
+        self.distances = None
+        self._reset()
+
+    def _reset(self):
+        self._sampling = None
+        self._contours = None
+        self._fourier = None
+        self._locations = None
+        self._sampled_contours = None
+        self._sampled_sizes = None
+        self._resampled_contours = None
+
+    def feed(self, labels: np.ndarray, border: int = 1, min_area: int = 1, max_area: int = None,
+             **kwargs):
+        """Feed a label image (may be modified inplace)."""
+        self._reset()
+        if labels.ndim == 2:
+            labels = labels[..., None]
+        filter_instances_(labels, partials=self.remove_partials, partials_border=border,
+                          min_area=min_area, max_area=max_area, constant=-1, continuous=True)
+        self.labels = labels
+        _ = self.contours  # compute (may flag fragmented instances)
+        self.distances, self.labels_red = labels2distances(labels, **kwargs)
+        mask_labels_by_distance_(self.labels_red, self.distances, self.max_bg_dist, self.min_fg_dist)
+
+    @property
+    def reduced_labels(self) -> np.ndarray:
+        if self.flag_fragmented:
+            _ = self.contours
+        return self.labels_red.max(2)
+
+    @property
+    def sampling(self) -> np.ndarray:
+        if self._sampling is None:
+            if self.random_sampling:
+                self._sampling = self.rng.uniform(0., 1., self.samples)
+            else:
+                self._sampling = np.linspace(0., 1., self.samples)
+            self._sampling.sort()
+        return self._sampling
+
+    @property
+    def contours(self) -> dict:
+        if self._contours is None:
+            self._contours = labels2contours(self.labels, flag_fragmented_inplace=self.flag_fragmented,
+                                             constant=self.flag_fragmented_constant, raise_fragmented=False)
+        return self._contours
+
+    @property
+    def fourier(self) -> np.ndarray:
+        if self._fourier is None:
+            self._fourier, self._locations = contours2fourier(self.contours, order=self.order)
+        return self._fourier
+
+    @property
+    def locations(self) -> np.ndarray:
+        if self._locations is None:
+            self._fourier, self._locations = contours2fourier(self.contours, order=self.order)
+        return self._locations
+
+    @property
+    def sampled_contours(self) -> np.ndarray:
+        """``Array[num_contours, samples, 2]`` decoded from the EFD targets."""
+        if self._sampled_contours is None:
+            self._sampled_contours = fourier2contour(self.fourier, self.locations,
+                                                     samples=self.samples, sampling=self.sampling)
+        return self._sampled_contours
+
+    @property
+    def resampled_contours(self) -> np.ndarray:
+        """Equidistantly resampled ground-truth contours (hires refinement targets)."""
+        if self._resampled_contours is None:
+            contours = self.contours
+            max_label = int(np.max(list(contours.keys()))) if len(contours) else 0
+            resampled = np.zeros((max_label, self.samples, 2))
+            for key, contour in contours.items():
+                if contour.ndim == 3:
+                    contour = contour.squeeze(1)
+                resampled[key - 1] = resample_contours(contour, self.samples)
+            self._resampled_contours = resampled
+            assert self._resampled_contours.shape == self.sampled_contours.shape
+        return self._resampled_contours
+
+    @property
+    def sampled_sizes(self) -> np.ndarray:
+        """``Array[num_contours, 2]`` height/width per contour."""
+        if self._sampled_sizes is None:
+            c = self.sampled_contours
+            self._sampled_sizes = c.max(1) - c.min(1)
+        return self._sampled_sizes

@@ -1,0 +1,132 @@
+"""Label-image utilities (numpy/cv2/scipy host-side).
+
+Behavioral reference: ``celldetection/data/segmentation.py`` —
+``remove_partials_`` (:10), ``fill_label_gaps_`` (:22), ``fill_padding_``
+(:43), ``filter_instances_`` (:67), ``relabel_`` (:106), ``stack_labels``
+(:133), ``unary_masks2labels`` (:153), ``boxes2masks`` (:170).
+"""
+import cv2
+import numpy as np
+
+from ._regionprops import connected_label
+from .misc import rgb_to_scalar
+
+__all__ = ['remove_partials_', 'fill_label_gaps_', 'filter_instances_', 'relabel_', 'stack_labels',
+           'unary_masks2labels', 'boxes2masks', 'fill_padding_', 'remove_padding']
+
+
+def remove_partials_(label_stack: np.ndarray, border: int = 1, constant: int = -1):
+    """Inplace: set labels touching the image border to ``constant``."""
+    if border < 1:
+        return label_stack, None
+    bad = set(np.unique(label_stack[:, :border]))
+    bad.update(np.unique(label_stack[:, -border:]))
+    bad.update(np.unique(label_stack[:border, :]))
+    bad.update(np.unique(label_stack[-border:, :]))
+    mask = np.isin(label_stack, list(bad - {0}))
+    label_stack[mask] = constant
+    return label_stack, mask
+
+
+def fill_label_gaps_(labels: np.ndarray):
+    """Inplace: make positive labels continuous in [1, n]. Labels <= 0 preserved."""
+    uni = np.unique(labels)
+    uniques = sorted(set(uni) - set(uni[uni <= 0]))
+    gaps = sorted(set(range(1, len(uniques) + 1)) - set(uniques))
+    while gaps:
+        labels[labels == uniques.pop()] = gaps.pop()
+
+
+def fill_padding_(inputs, padding: int, constant: int = -1, preserve_existing: bool = True, axes=(0, 1)):
+    """Inplace: mark padded border rows/cols with ``constant``."""
+    if padding <= 0:
+        return
+    if isinstance(inputs, (list, tuple)):
+        for i in inputs:
+            fill_padding_(i, padding, constant)
+        return
+    for ax in axes:
+        if ax < 0:
+            ax = ax + inputs.ndim
+        for sl in (slice(0, padding), slice(-padding, None)):
+            index = (slice(None),) * ax + (sl,)
+            if preserve_existing:
+                mask = ~inputs[index].any(-1)
+            else:
+                mask = slice(None)
+            inputs[index][mask] = constant
+
+
+def remove_padding(inputs, padding: int):
+    if isinstance(inputs, (list, tuple)):
+        return [remove_padding(i, padding) for i in inputs]
+    return inputs[padding:-padding, padding:-padding]
+
+
+def filter_instances_(labels: np.ndarray, partials: bool = True, partials_border: int = 1,
+                      min_area: int = 4, max_area: int = None, constant: int = -1,
+                      continuous: bool = True):
+    """Inplace instance filter: border partials, area bounds, relabel continuous."""
+    if partials:
+        remove_partials_(labels, border=partials_border, constant=constant)
+    if max_area is not None or min_area is not None:
+        uni_labels, uni_counts = np.unique(labels, return_counts=True)
+        keep = uni_labels > 0
+        uni_labels, uni_counts = uni_labels[keep], uni_counts[keep]
+        bad = []
+        if max_area:
+            bad += list(uni_labels[uni_counts > max_area].ravel())
+        if min_area:
+            bad += list(uni_labels[uni_counts < min_area].ravel())
+        for label in bad:
+            labels[labels == label] = constant
+    if continuous:
+        fill_label_gaps_(labels)
+
+
+def relabel_(label_stack: np.ndarray, axis: int = 2):
+    """Inplace relabeling to continuous labels starting at 1 (connected components).
+
+    Negative labels remain untouched.
+    """
+    assert label_stack.ndim == 3
+    neg_m = label_stack < 0
+    cur_max = 0
+    for channel in range(label_stack.shape[axis]):
+        sel = (slice(None),) * axis + (channel,)
+        stack_ = connected_label(label_stack[sel])
+        for u in set(np.unique(stack_)) - {0}:
+            mask = stack_ == u
+            if np.any(np.logical_and(mask, neg_m[sel])):
+                continue
+            cur_max += 1
+            label_stack[sel][mask] = cur_max
+
+
+def stack_labels(*maps, axis: int = 2, dtype='int32', relabel: bool = True) -> np.ndarray:
+    """Stack grayscale/RGB label maps into a channelled label image."""
+    maps = [(rgb_to_scalar(m, dtype=dtype) if (m.ndim == 3 and m.shape[2] == 3) else m.astype(dtype))
+            for m in maps]
+    stack = np.stack(maps, axis=axis)
+    if relabel:
+        relabel_(stack, axis)
+    return stack
+
+
+def unary_masks2labels(unary_masks, transpose: bool = True) -> np.ndarray:
+    """Per-object binary masks → label image (one channel per object)."""
+    lbl = (np.asarray(unary_masks) > 0) * np.arange(1, len(unary_masks) + 1)[:, None, None]
+    if transpose:
+        lbl = lbl.transpose((1, 2, 0))
+    return lbl
+
+
+def boxes2masks(boxes, size):
+    """Boxes → list of filled rectangle masks (label = index + 1)."""
+    masks = []
+    for idx, b in enumerate(boxes):
+        mask = np.zeros(size, dtype='uint8')
+        xmin, ymin, xmax, ymax = (int(v) for v in b)
+        cv2.rectangle(mask, (xmin, ymin), (xmax, ymax), idx + 1, thickness=-1)
+        masks.append(mask)
+    return masks

@@ -1,0 +1,58 @@
+"""Synthetic toy data: random blob instances with labels.
+
+Role parity: ``celldetection/data/toydata.py:47-76`` (geometric-shape
+generator used for demos/tests). This generator draws randomly deformed
+ellipses ("cells") with Perlin-ish intensity, returning an image and a
+channelled label image suitable for :class:`CPNTargetGenerator`.
+"""
+import cv2
+import numpy as np
+
+__all__ = ['random_geometric_objects', 'synthetic_cells']
+
+
+def random_geometric_objects(height: int = 256, width: int = 256, num: int = 24,
+                             radius: tuple = (8, 24), seed=None, channels: int = 1):
+    """Random deformed-ellipse instances.
+
+    Returns:
+        ``(image, labels)`` — image ``Array[h, w]`` float in [0, 1], labels
+        ``Array[h, w, channels]`` int32 (channels resolve overlaps).
+    """
+    rng = np.random.RandomState(seed)
+    labels = np.zeros((height, width, channels), dtype=np.int32)
+    image = np.zeros((height, width), dtype=np.float32)
+    lbl = 0
+    for _ in range(num):
+        r = rng.randint(radius[0], radius[1])
+        cx = rng.randint(r + 1, width - r - 1)
+        cy = rng.randint(r + 1, height - r - 1)
+        theta = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+        rr = r * (1 + 0.25 * np.sin(theta * rng.randint(2, 5) + rng.rand() * 6.28) * rng.rand())
+        ax = 0.6 + 0.4 * rng.rand()
+        pts = np.stack([cx + rr * np.cos(theta) * ax, cy + rr * np.sin(theta)], -1)
+        pts_i = np.round(pts).astype(np.int32).reshape(-1, 1, 2)
+        mask = np.zeros((height, width), dtype=np.uint8)
+        cv2.drawContours(mask, [pts_i], 0, 1, -1)
+        if mask.sum() < 9:
+            continue
+        # place into first channel without existing labels in the region
+        placed = False
+        for c in range(channels):
+            if not (labels[..., c][mask > 0] > 0).any():
+                lbl += 1
+                labels[..., c][mask > 0] = lbl
+                placed = True
+                break
+        if not placed:
+            continue
+        intensity = 0.4 + 0.5 * rng.rand()
+        image[mask > 0] = np.maximum(image[mask > 0], intensity)
+    image = cv2.GaussianBlur(image, (5, 5), 1.5)
+    image = image + rng.randn(height, width).astype(np.float32) * 0.03
+    return np.clip(image, 0, 1), labels
+
+
+def synthetic_cells(n: int = 8, height: int = 256, width: int = 256, seed: int = 0, **kwargs):
+    """Batch of synthetic examples: list of (image, labels) tuples."""
+    return [random_geometric_objects(height, width, seed=seed + i, **kwargs) for i in range(n)]
