@@ -5,4 +5,5 @@ from .instance_eval import *
 from .toydata import *
 from .transforms import *
 from ._regionprops import regionprops
-from . import cpn, misc, segmentation, instance_eval, toydata, transforms, datasets
+from .targets import *
+from . import cpn, misc, segmentation, instance_eval, toydata, transforms, targets, datasets

@@ -1,0 +1,87 @@
+"""Bridge: host-side CPN targets → fixed-shape device batches.
+
+Converts :class:`CPNTargetGenerator` outputs into the capacity-padded arrays
+consumed by ``celldetection_tpu.models.cpn.cpn_compute_loss``.
+"""
+from typing import List, Optional
+
+import numpy as np
+
+from .cpn import CPNTargetGenerator
+
+__all__ = ['cpn_targets_single', 'collate_cpn_targets', 'CPNTrainItem']
+
+
+def cpn_targets_single(labels: np.ndarray, samples: int, order: int,
+                       rng: Optional[np.random.RandomState] = None,
+                       random_sampling: bool = True, hires_targets: bool = True,
+                       generator_kwargs: dict = None) -> dict:
+    """One label image → target dict (un-padded instance axis).
+
+    Returns keys: ``labels [H,W]`` (reduced, -1 = ignore), ``fourier [N,order,4]``,
+    ``locations [N,2]``, ``sampled_contours [N,S,2]``,
+    ``hires_sampled_contours [N,S,2]``, ``sampling [S]``, ``num_instances``.
+    """
+    gen = CPNTargetGenerator(samples=samples, order=order, random_sampling=random_sampling,
+                             rng=rng, **(generator_kwargs or {}))
+    gen.feed(np.ascontiguousarray(labels))
+    out = dict(
+        labels=gen.reduced_labels.astype(np.int32),
+        fourier=gen.fourier.astype(np.float32),
+        locations=gen.locations.astype(np.float32),
+        sampled_contours=gen.sampled_contours.astype(np.float32),
+        sampling=gen.sampling.astype(np.float32),
+        num_instances=gen.fourier.shape[0],
+    )
+    if hires_targets:
+        out['hires_sampled_contours'] = gen.resampled_contours.astype(np.float32)
+    return out
+
+
+def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a[:n]
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def collate_cpn_targets(items: List[dict], max_instances: Optional[int] = None) -> dict:
+    """Stack target dicts, padding the instance axis to ``max_instances``."""
+    n = max(max(i['num_instances'] for i in items), 1)
+    if max_instances is not None:
+        n = max_instances
+        overflow = [i['num_instances'] > n for i in items]
+        if any(overflow):
+            raise ValueError(f'max_instances={n} exceeded: '
+                             f'{[i["num_instances"] for i in items]}')
+    out = {}
+    hs = [i['labels'].shape for i in items]
+    assert len(set(hs)) == 1, f'Label shapes must match for batching: {hs}'
+    out['labels'] = np.stack([i['labels'] for i in items])
+    for k in ('fourier', 'locations', 'sampled_contours', 'hires_sampled_contours'):
+        if k in items[0]:
+            out[k] = np.stack([_pad_axis0(i[k], n) for i in items])
+    out['sampling'] = np.stack([i['sampling'] for i in items])
+    out['num_instances'] = np.asarray([i['num_instances'] for i in items], np.int32)
+    return out
+
+
+class CPNTrainItem:
+    """Dataset adapter: (image, labels) pairs → (image, target dict) items."""
+
+    def __init__(self, dataset, samples: int, order: int, seed: int = 0, **kwargs):
+        self.dataset = dataset
+        self.samples = samples
+        self.order = order
+        self.seed = seed
+        self.kwargs = kwargs
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, item):
+        image, labels = self.dataset[item]
+        rng = np.random.RandomState((self.seed * 2654435761 + item) % (2 ** 31))
+        targets = cpn_targets_single(labels.copy(), self.samples, self.order, rng=rng,
+                                     **self.kwargs)
+        return image, targets

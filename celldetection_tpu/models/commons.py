@@ -1,0 +1,386 @@
+"""Building blocks — flax.linen modules (NHWC).
+
+Behavioral reference: ``celldetection/models/commons.py`` — ConvNorm (:68),
+ConvNormRelu (:93), TwoConvNormRelu (:120), ScaledTanh/Sigmoid (:175-203),
+ResBlock (:308), BottleneckBlock (:363), ReadOut (:461), Fuse (:640-682),
+Normalize (:686), SqueezeExcitation (:711), SelfAttention (:736),
+LayerNormNd (:787), DynamicTanh (:27).
+
+Design notes (TPU):
+    - Channels-last; convs map to XLA ``conv_general_dilated`` which the TPU
+      compiler tiles onto the MXU.
+    - BatchNorm uses running stats at inference (``train=False``); training
+      updates live in the ``batch_stats`` collection (torch-compatible
+      momentum/eps defaults for weight-import parity).
+    - Dropout is deterministic-off at inference; pass an rng via linen's
+      ``rngs={'dropout': key}`` when training.
+"""
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    'get_activation', 'Norm', 'ConvNorm', 'ConvNormRelu', 'TwoConvNormRelu', 'TwoConvNormLeaky',
+    'ScaledTanh', 'ScaledSigmoid', 'ResBlock', 'BottleneckBlock', 'ReadOut', 'Fuse', 'Normalize',
+    'SqueezeExcitation', 'SelfAttention', 'LayerNorm2d', 'DynamicTanh', 'kaiming_uniform',
+]
+
+# torch nn.BatchNorm2d defaults: momentum=0.1 (flax momentum = 1 - 0.1), eps=1e-5
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def kaiming_uniform(a: float = 1.0):
+    """He/kaiming uniform with negative_slope ``a`` (fan_in), torch-compatible."""
+    def init(key, shape, dtype=jnp.float32):
+        # conv kernel HWIO: fan_in = prod(spatial) * in_channels
+        fan_in = 1
+        for d in shape[:-1]:
+            fan_in *= d
+        gain = (2.0 / (1 + a ** 2)) ** 0.5
+        bound = gain * (3.0 / fan_in) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+_ACTIVATIONS = {
+    'relu': jax.nn.relu,
+    'leakyrelu': partial(jax.nn.leaky_relu, negative_slope=0.01),
+    'gelu': jax.nn.gelu,
+    'sigmoid': jax.nn.sigmoid,
+    'tanh': jnp.tanh,
+    'softmax': partial(jax.nn.softmax, axis=-1),
+    'silu': jax.nn.silu,
+    'swish': jax.nn.silu,
+    'elu': jax.nn.elu,
+    'selu': jax.nn.selu,
+    'mish': lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    'hardswish': jax.nn.hard_swish,
+    'hardsigmoid': jax.nn.hard_sigmoid,
+    'identity': lambda x: x,
+    'none': lambda x: x,
+}
+
+
+def get_activation(activation) -> Callable:
+    """Resolve an activation by name/callable/None (``lookup_nn`` analogue)."""
+    if activation is None:
+        return _ACTIVATIONS['identity']
+    if callable(activation):
+        return activation
+    key = str(activation).lower().replace('_', '').replace('2d', '')
+    if key in _ACTIVATIONS:
+        return _ACTIVATIONS[key]
+    raise ValueError(f'Unknown activation: {activation}')
+
+
+class Norm(nn.Module):
+    """String-dispatched normalization layer ('batchnorm2d', 'layernorm2d',
+    'groupnorm', 'instancenorm2d', None)."""
+    kind: Union[str, None] = 'batchnorm2d'
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kind = None if self.kind is None else str(self.kind).lower().replace('_', '').replace('nd', '2d')
+        if kind is None or kind in ('identity', 'none'):
+            return x
+        if kind.startswith('batchnorm'):
+            return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                                epsilon=BN_EPS, name='norm')(x)
+        if kind.startswith('layernorm'):
+            return nn.LayerNorm(epsilon=1e-5, name='norm')(x)
+        if kind.startswith('groupnorm'):
+            return nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]), name='norm')(x)
+        if kind.startswith('instancenorm'):
+            return nn.GroupNorm(num_groups=x.shape[-1], name='norm')(x)
+        raise ValueError(f'Unknown norm: {self.kind}')
+
+
+class ConvNorm(nn.Module):
+    """Convolution + normalization."""
+    out_channels: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    stride: int = 1
+    norm_layer: Union[str, None] = 'batchnorm2d'
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel_size // 2 if self.padding is None else self.padding
+        x = nn.Conv(self.out_channels, (self.kernel_size,) * 2, strides=(self.stride,) * 2,
+                    padding=pad, use_bias=self.use_bias,
+                    feature_group_count=self.feature_group_count, name='conv')(x)
+        return Norm(self.norm_layer, name='norm')(x, train)
+
+
+class ConvNormRelu(nn.Module):
+    """Convolution + normalization + activation."""
+    out_channels: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    stride: int = 1
+    norm_layer: Union[str, None] = 'batchnorm2d'
+    activation: Any = 'relu'
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvNorm(self.out_channels, self.kernel_size, self.padding, self.stride,
+                     self.norm_layer, self.use_bias, self.feature_group_count, name='block')(x, train)
+        return get_activation(self.activation)(x)
+
+
+class TwoConvNormRelu(nn.Module):
+    """conv-norm-act ×2 (the U-Net workhorse block)."""
+    out_channels: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    stride: int = 1
+    mid_channels: Optional[int] = None
+    norm_layer: Union[str, None] = 'batchnorm2d'
+    activation: Any = 'relu'
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_channels if self.mid_channels is None else self.mid_channels
+        act = get_activation(self.activation)
+        x = ConvNorm(mid, self.kernel_size, self.padding, self.stride, self.norm_layer,
+                     self.use_bias, name='block0')(x, train)
+        x = act(x)
+        x = ConvNorm(self.out_channels, self.kernel_size, self.padding, 1, self.norm_layer,
+                     self.use_bias, name='block1')(x, train)
+        return act(x)
+
+
+class TwoConvNormLeaky(TwoConvNormRelu):
+    activation: Any = 'leakyrelu'
+
+
+class ScaledTanh(nn.Module):
+    """``tanh(x) * factor + shift``."""
+    factor: float
+    shift: float = 0.
+
+    def __call__(self, x):
+        return jnp.tanh(x) * self.factor + self.shift
+
+
+class ScaledSigmoid(nn.Module):
+    """``sigmoid(x) * factor + shift``."""
+    factor: float
+    shift: float = 0.
+
+    def __call__(self, x):
+        return jax.nn.sigmoid(x) * self.factor + self.shift
+
+
+class ResBlock(nn.Module):
+    """Basic residual block with projection shortcut when shapes change."""
+    out_channels: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    norm_layer: Union[str, None] = 'batchnorm2d'
+    activation: Any = 'relu'
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_activation(self.activation)
+        in_channels = x.shape[-1]
+        if in_channels != self.out_channels or self.stride != 1:
+            identity = ConvNorm(self.out_channels, 1, 0, self.stride, self.norm_layer,
+                                use_bias=False, name='downsample')(x, train)
+        else:
+            identity = x
+        out = ConvNorm(self.out_channels, self.kernel_size, self.padding, self.stride,
+                       self.norm_layer, use_bias=False, name='block0')(x, train)
+        out = act(out)
+        out = ConvNorm(self.out_channels, self.kernel_size, self.padding, 1,
+                       self.norm_layer, use_bias=False, name='block1')(out, train)
+        return act(out + identity)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 → kxk → 1x1 bottleneck residual block."""
+    out_channels: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    mid_channels: Optional[int] = None
+    compression: int = 4
+    base_channels: int = 64
+    norm_layer: Union[str, None] = 'batchnorm2d'
+    activation: Any = 'relu'
+    stride: int = 1
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_activation(self.activation)
+        in_channels = x.shape[-1]
+        mid = self.mid_channels or max(self.base_channels, self.out_channels // self.compression,
+                                       in_channels // self.compression)
+        if in_channels != self.out_channels or self.stride != 1:
+            identity = ConvNorm(self.out_channels, 1, 0, self.stride, self.norm_layer,
+                                use_bias=False, name='downsample')(x, train)
+        else:
+            identity = x
+        out = ConvNorm(mid, 1, 0, 1, self.norm_layer, use_bias=False, name='block0')(x, train)
+        out = act(out)
+        out = ConvNorm(mid, self.kernel_size, self.padding, self.stride, self.norm_layer,
+                       use_bias=False, feature_group_count=self.feature_group_count,
+                       name='block1')(out, train)
+        out = act(out)
+        out = ConvNorm(self.out_channels, 1, 0, 1, self.norm_layer, use_bias=False,
+                       name='block2')(out, train)
+        return act(out + identity)
+
+
+class ReadOut(nn.Module):
+    """Dense prediction head: conv-norm-act-dropout-1x1 (+ final activation).
+
+    Parity: ``celldetection/models/commons.py:461-511``.
+    """
+    channels_out: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    activation: Any = 'relu'
+    norm: Union[str, None] = 'batchnorm2d'
+    final_activation: Any = None
+    dropout: float = 0.1
+    channels_mid: Optional[int] = None
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = x.shape[-1] if self.channels_mid is None else self.channels_mid
+        x = nn.Conv(mid, (self.kernel_size,) * 2, strides=(self.stride,) * 2,
+                    padding=self.kernel_size // 2 if self.padding is None else self.padding,
+                    name='conv0')(x)
+        x = Norm(self.norm, name='norm')(x, train)
+        x = get_activation(self.activation)(x)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not train, name='dropout')(x)
+        x = nn.Conv(self.channels_out, (1, 1), name='conv1')(x)
+        if self.final_activation is None:
+            return x
+        fa = self.final_activation
+        if isinstance(fa, nn.Module):
+            return fa(x)
+        return get_activation(fa)(x)
+
+
+class Fuse(nn.Module):
+    """Resize-to-first + concat + conv-norm-act feature fusion.
+
+    Parity: ``celldetection/models/commons.py:640-682`` (Fuse2d).
+    """
+    out_channels: int
+    kernel_size: int = 1
+    padding: int = 0
+    activation: Any = 'relu'
+    norm_layer: Union[str, None] = 'batchnorm2d'
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        from ..ops.commons import resize_nearest
+        xs = tuple(xs)
+        target = xs[0].shape[1:3]
+        xs = [x if x.shape[1:3] == target else resize_nearest(x, target) for x in xs]
+        x = jnp.concatenate(xs, -1)
+        x = nn.Conv(self.out_channels, (self.kernel_size,) * 2, padding=self.padding, name='conv')(x)
+        x = Norm(self.norm_layer, name='norm')(x, train)
+        return get_activation(self.activation)(x)
+
+
+Fuse2d = Fuse
+
+
+class Normalize(nn.Module):
+    """Input normalization: ``(x - mean) / std`` with optional range check.
+
+    Range violations are clamped silently under jit (the reference asserts;
+    asserts are host-side only there).
+    """
+    mean: Any = 0.
+    std: Any = 1.
+    assert_range: Optional[Tuple[float, float]] = (0., 1.)
+
+    def __call__(self, x):
+        mean = jnp.asarray(self.mean, x.dtype)
+        std = jnp.asarray(self.std, x.dtype)
+        return (x - mean) / std
+
+
+class SqueezeExcitation(nn.Module):
+    """Squeeze-and-excitation with optional residual add."""
+    squeeze_channels: Optional[int] = None
+    compression: int = 16
+    activation: Any = 'relu'
+    scale_activation: Any = 'sigmoid'
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        sq = self.squeeze_channels or max(c // self.compression, 1)
+        scale = jnp.mean(x, (1, 2), keepdims=True)
+        scale = nn.Conv(sq, (1, 1), name='fc0')(scale)
+        scale = get_activation(self.activation)(scale)
+        scale = nn.Conv(c, (1, 1), name='fc1')(scale)
+        scale = get_activation(self.scale_activation)(scale)
+        scaled = x * scale
+        return x + scaled if self.residual else scaled
+
+
+class SelfAttention(nn.Module):
+    """SAGAN-style self-attention over flattened spatial positions."""
+    out_channels: Optional[int] = None
+    mid_channels: Optional[int] = None
+    beta: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        c_out = self.out_channels or c_in
+        c_mid = self.mid_channels or c_in // 8
+        if c_in != c_out:
+            x = nn.Conv(c_out, (3, 3), padding=1, name='in_conv')(x)
+        n, h, w, c = x.shape
+        a = nn.Conv(c_mid, (1, 1), name='proj_a')(x).reshape(n, h * w, c_mid)
+        b = nn.Conv(c_mid, (1, 1), name='proj_b')(x).reshape(n, h * w, c_mid)
+        p = jnp.einsum('nic,njc->nij', a, b)
+        p = jax.nn.softmax(p, axis=1)
+        cmap = nn.Conv(c_out, (1, 1), name='proj')(x).reshape(n, h * w, c_out)
+        out = jnp.einsum('nij,nic->njc', p, cmap).reshape(n, h, w, c_out)
+        beta = self.param('beta', nn.initializers.zeros, (1,)) if self.beta else 1.
+        return nn.Conv(c_out, (1, 1), name='out_conv')(beta * out + x)
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm on NHWC (native layout — no permutes needed)."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.LayerNorm(epsilon=self.epsilon, name='ln')(x)
+
+
+class DynamicTanh(nn.Module):
+    """DyT normalization replacement (arXiv 2503.10622)."""
+    alpha_init_value: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        alpha = self.param('alpha', nn.initializers.constant(self.alpha_init_value), (1,))
+        weight = self.param('weight', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+        return jnp.tanh(alpha * x) * weight + bias

@@ -1,0 +1,282 @@
+"""U-Net family — flax.linen (NHWC).
+
+Behavioral reference: ``celldetection/models/unet.py`` — ``UNetEncoder``
+(:29), ``GeneralizedUNet`` (:62, forward :178-249), ``BackboneAsUNet``
+(:253), ``UNet`` (:338), ``U22`` (:405), ``ResUNet`` (:434), ``SlimU22``
+(:467), ``WideU22`` (:497), ``U17`` (:527), ``U12`` (:556), plus the
+ResNet/ConvNeXt-encoder variants (:591-830, see
+``celldetection_tpu.models.resnet`` / ``.convnext``).
+
+Decoder semantics preserved: top-down nearest upsampling, 1x1 channel
+reduction ("inner blocks"), concat-merge with lateral features, stride
+bridging for encoders that start above stride 1, full-res bilinear final
+interpolation, and ``keep_features`` exposing encoder maps under
+``encoder.*`` keys.
+"""
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Type, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.commons import resize_bilinear, resize_nearest
+from .commons import Normalize, ResBlock, TwoConvNormRelu
+
+__all__ = ['UNetEncoder', 'GeneralizedUNet', 'BackboneAsUNet', 'UNet',
+           'U22', 'SlimU22', 'WideU22', 'U17', 'U12', 'ResUNet']
+
+
+class UNetEncoder(nn.Module):
+    """Plain U-Net encoder: ``depth`` stages of ``block_cls``, downsampling 2x.
+
+    Attributes:
+        in_channels: Input channels (informational; convs infer from input).
+        depth: Number of stages (feature strides 1, 2, 4, ...).
+        base_channels: Stage-0 channels; stage i has ``base * factor**i``.
+        pool: Max-pool (True) or strided conv (False) downsampling.
+    """
+    in_channels: int = 3
+    depth: int = 5
+    base_channels: int = 64
+    factor: int = 2
+    pool: bool = True
+    block_cls: Any = None
+    norm_layer: Union[str, None] = 'batchnorm2d'
+
+    @property
+    def out_channels(self):
+        return [self.base_channels * (self.factor ** i) for i in range(self.depth)]
+
+    @property
+    def out_strides(self):
+        return [2 ** i for i in range(self.depth)]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        block_cls = self.block_cls or TwoConvNormRelu
+        features = {}
+        for i in range(self.depth):
+            out_c = self.base_channels * (self.factor ** i)
+            if i > 0 and self.pool:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                stride = 1
+            else:
+                stride = int((not self.pool and i > 0) + 1)
+            x = block_cls(out_c, stride=stride, norm_layer=self.norm_layer, name=f'block{i}')(x, train)
+            features[str(i)] = x
+        return features
+
+
+class GeneralizedUNet(nn.Module):
+    """Generalized U-Net decoder over a dict of multi-scale features.
+
+    Args (attributes):
+        in_channels_list: Encoder channels per level (level 0 = finest).
+        out_channels: Final output channels; 0 omits the output layer and
+            returns the feature dict instead.
+        block_cls: Decoder block (called as ``block(out_c)(x, train)``).
+        in_strides_list: Encoder strides; a first stride > 1 activates bridge
+            blocks that synthesize the missing fine levels.
+        out_channels_list: Decoder channels per level (default: mirror input).
+        keep_features: Include raw encoder maps as ``encoder.<k>`` outputs.
+    """
+    in_channels_list: Sequence[int]
+    out_channels: int = 0
+    block_cls: Any = None
+    block_kwargs: Optional[dict] = None
+    final_activation: Any = None
+    interpolate: str = 'nearest'
+    in_strides_list: Optional[Sequence[int]] = None
+    out_channels_list: Optional[Sequence[int]] = None
+    keep_features: bool = True
+    bridge_strides: bool = True
+    nd: int = 2
+
+    def _plan(self):
+        in_list = list(self.in_channels_list)
+        out_list = list(self.out_channels_list) if self.out_channels_list is not None else list(in_list)
+        strides = list(self.in_strides_list) if (self.in_strides_list is not None and self.bridge_strides) \
+            else [2 ** i for i in range(len(in_list))]
+        bridges = 0
+        s = strides[0]
+        while s > 1:
+            s //= 2
+            bridges += 1
+        num = len(in_list)
+        for _ in range(bridges):
+            in_list = [0] + in_list
+            if len(out_list) < num + bridges - 1:
+                out_list = [out_list[0]] + out_list
+        return in_list, out_list, bridges
+
+    @nn.compact
+    def __call__(self, x: Dict[str, jnp.ndarray], size: Optional[Tuple[int, int]],
+                 train: bool = False):
+        block_cls = self.block_cls or TwoConvNormRelu
+        block_kwargs = self.block_kwargs or {}
+        in_list, out_list, bridges = self._plan()
+        depth = len(in_list) - 1
+
+        names = list(x.keys())
+        feats = list(x.values())
+        last_inner = feats[-1]
+        results = [last_inner]
+        for i in range(depth - 1, -1, -1):
+            has_lat = in_list[i] > 0
+            lateral = feats[i - bridges] if has_lat else None
+            top_down = last_inner
+            # Upsample top-down path to lateral size (or 2x for bridge levels).
+            if lateral is not None:
+                t_size = lateral.shape[1:3]
+            else:
+                t_size = (top_down.shape[1] * 2, top_down.shape[2] * 2)
+            if top_down.shape[1:3] != t_size:
+                if self.interpolate == 'nearest':
+                    top_down = resize_nearest(top_down, t_size)
+                else:
+                    top_down = resize_bilinear(top_down, t_size)
+            # Inner 1x1 channel reduction.
+            inner_inc = out_list[i + 1] if i + 1 < depth else in_list[i + 1]
+            inner_ouc = out_list[i]
+            if inner_inc > 0 and inner_ouc < inner_inc:
+                top_down = nn.Conv(inner_ouc, (1, 1), name=f'inner{i + 1}')(top_down)
+            if has_lat:
+                block_in = jnp.concatenate([lateral, top_down], -1)
+                last_inner = block_cls(out_list[i], name=f'layer{i}', **block_kwargs)(block_in, train)
+            else:  # bridge block (no lateral features at this stride)
+                last_inner = TwoConvNormRelu(out_list[i], use_bias=False,
+                                             name=f'layer{i}')(top_down, train)
+            results.insert(0, last_inner)
+
+        if size is None:
+            final = results[0]
+        else:
+            final = resize_bilinear(last_inner, size)
+        if self.out_channels > 0:
+            final = nn.Conv(self.out_channels, (1, 1), name='out_layer')(final)
+            if self.final_activation is not None:
+                from .commons import get_activation
+                final = get_activation(self.final_activation)(final)
+            return final
+        out = {'out': final}
+        # Finest-first: with stride bridging, keys '0', '1', ... name the
+        # synthesized fine levels (zip truncates — parity with reference
+        # ``unet.py:246`` where names come from the original feature dict).
+        for k, v in zip(names, results):
+            out[k] = v
+        if self.keep_features:
+            for k, v in x.items():
+                out[f'encoder.{k}'] = v
+        return out
+
+    @property
+    def out_channels_list_resolved(self):
+        _, out_list, _ = self._plan()
+        return out_list
+
+
+class BackboneAsUNet(nn.Module):
+    """Encoder backbone + GeneralizedUNet decoder + input normalization."""
+    backbone: Any
+    in_channels_list: Sequence[int]
+    out_channels: int = 0
+    block_cls: Any = None
+    block_kwargs: Optional[dict] = None
+    final_activation: Any = None
+    interpolate: str = 'nearest'
+    in_strides_list: Optional[Sequence[int]] = None
+    out_channels_list: Optional[Sequence[int]] = None
+    normalize: bool = True
+    inputs_mean: Any = 0.
+    inputs_std: Any = 1.
+
+    @property
+    def feature_channels(self):
+        """Per-key decoder output channels (key '0' = finest level)."""
+        plan = GeneralizedUNet(
+            in_channels_list=self.in_channels_list,
+            out_channels_list=self.out_channels_list,
+            in_strides_list=self.in_strides_list,
+        )
+        return plan.out_channels_list_resolved
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = inputs
+        if self.normalize:
+            x = Normalize(self.inputs_mean, self.inputs_std, name='normalize')(x)
+        features = self.backbone(x, train)
+        out = GeneralizedUNet(
+            in_channels_list=self.in_channels_list,
+            out_channels=self.out_channels,
+            block_cls=self.block_cls,
+            block_kwargs=self.block_kwargs,
+            final_activation=self.final_activation,
+            interpolate=self.interpolate,
+            in_strides_list=self.in_strides_list,
+            out_channels_list=self.out_channels_list,
+            name='unet',
+        )(features, size=inputs.shape[1:3], train=train)
+        return out
+
+
+class UNet(BackboneAsUNet):
+    """U-Net over an arbitrary encoder (parity: ``cd.models.UNet``)."""
+
+
+def _unet_variant(backbone_kwargs=None, **overrides):
+    kw = dict(backbone_kwargs or {})
+    kw.update(overrides)
+    return kw
+
+
+def _make_encoder_unet(in_channels, out_channels, base_channels, depth=5, block_cls=None,
+                       final_activation=None, backbone_kwargs=None, **kwargs):
+    bk = dict(backbone_kwargs or {})
+    encoder = UNetEncoder(in_channels=in_channels, depth=bk.pop('depth', depth),
+                          base_channels=bk.pop('base_channels', base_channels),
+                          block_cls=block_cls, **bk)
+    return UNet(
+        backbone=encoder,
+        in_channels_list=encoder.out_channels,
+        in_strides_list=encoder.out_strides,
+        out_channels=out_channels,
+        block_cls=block_cls,
+        final_activation=final_activation,
+        **kwargs,
+    )
+
+
+def U22(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None, **kwargs):
+    """U-Net 22: 22 convolutions over 5 resolutions, base 64 channels."""
+    return _make_encoder_unet(in_channels, out_channels, 64, 5, None, final_activation,
+                              backbone_kwargs, **kwargs)
+
+
+def SlimU22(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None, **kwargs):
+    """U22 with half the feature channels (base 32)."""
+    return _make_encoder_unet(in_channels, out_channels, 32, 5, None, final_activation,
+                              backbone_kwargs, **kwargs)
+
+
+def WideU22(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None, **kwargs):
+    """U22 with 1.5x feature channels (base 96)."""
+    return _make_encoder_unet(in_channels, out_channels, 96, 5, None, final_activation,
+                              backbone_kwargs, **kwargs)
+
+
+def U17(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None, **kwargs):
+    """U-Net 17: 4 resolutions."""
+    return _make_encoder_unet(in_channels, out_channels, 64, 4, None, final_activation,
+                              backbone_kwargs, **kwargs)
+
+
+def U12(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None, **kwargs):
+    """U-Net 12: 3 resolutions."""
+    return _make_encoder_unet(in_channels, out_channels, 64, 3, None, final_activation,
+                              backbone_kwargs, **kwargs)
+
+
+def ResUNet(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None, **kwargs):
+    """U-Net with residual blocks."""
+    return _make_encoder_unet(in_channels, out_channels, 64, 5, ResBlock, final_activation,
+                              backbone_kwargs, **kwargs)
