@@ -9,7 +9,16 @@ Typical usage::
 
     import celldetection_tpu as cdt
     model = cdt.models.CpnU22(in_channels=3)
-    detections = model(images)          # NCHW or NHWC uint8/float
+    detections = model(images)          # NCHW or NHWC, uint8 or float
 """
 from .__meta__ import __version__
 from . import ops
+from . import data
+from . import models
+from . import util
+from . import parallel
+from .util.config import Config, Schedule, conf2call, conf2optimizer, conf2scheduler
+from .util.tiling import Tiling, get_tiling_slices
+from .data.cpn import CPNTargetGenerator
+from .data.instance_eval import LabelMatcher, LabelMatcherList
+from .parallel.tiles import TiledInference

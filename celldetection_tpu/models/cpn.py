@@ -425,7 +425,8 @@ class CPN:
                  contour_head_channels: int = None, contour_head_stride: int = 1,
                  order_weights: bool = True, refinement_head_channels: int = None,
                  refinement_head_stride: int = 1, refinement_interpolation: str = 'bilinear',
-                 max_detections: int = 2048, dtype=jnp.float32, **kwargs):
+                 max_detections: int = 2048, dtype=jnp.float32,
+                 compute_dtype=None, **kwargs):
         self.order = order
         self.nms_thresh = nms_thresh
         self.score_thresh = score_thresh
@@ -441,6 +442,9 @@ class CPN:
         self.uncertainty_head = uncertainty_head
         self.max_detections = max_detections
         self.dtype = dtype
+        # Backbone/head compute dtype (e.g. jnp.bfloat16 for MXU-rate
+        # inference). Params stay fp32; the decode chain always runs fp32.
+        self.compute_dtype = compute_dtype
         self.weights = dict(DEFAULT_WEIGHTS)
         self.iou_loss_enabled = True
         self.box_loss_enabled = False
@@ -500,12 +504,23 @@ class CPN:
         """
         score_thresh = self.score_thresh if score_thresh is None else score_thresh
         rngs = {'dropout': selection_rng} if (train and selection_rng is not None) else None
+        cdt = self.compute_dtype
+        if cdt is not None and not train:
+            # Low-precision backbone path: cast params + input to the compute
+            # dtype (MXU-rate), then decode in fp32.
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            variables = cast(variables)
+            inputs = inputs.astype(cdt)
         if mutable:
             dense, new_state = self.core.apply(variables, inputs, train, rngs=rngs,
                                                mutable=['batch_stats'])
         else:
             dense = self.core.apply(variables, inputs, train, rngs=rngs)
             new_state = None
+        if cdt is not None and not train:
+            dense = {k: (None if v is None else v.astype(jnp.float32))
+                     for k, v in dense.items()}
 
         labels = priority = sampling = None
         if targets is not None:

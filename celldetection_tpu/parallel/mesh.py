@@ -1,0 +1,108 @@
+"""Device mesh + multi-host helpers.
+
+Replaces the reference's two-tier comm stack (torch.distributed NCCL/Gloo +
+mpi4py task farms, ``celldetection/mpi/mpi.py``, ``util/util.py:2401-2475``)
+with the JAX-native equivalents: ``jax.distributed`` for cluster bring-up,
+``jax.sharding.Mesh`` + NamedSharding for ICI/DCN collectives, and
+process-index input sharding for job-level parallelism.
+"""
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ['make_mesh', 'data_sharding', 'replicated', 'get_rank', 'get_num_nodes',
+           'shard_inputs_by_process', 'host_all_reduce_sum', 'initialize_distributed',
+           'cpu_count']
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Initialize multi-host JAX (SLURM/TPU-pod aware; no-op when single-host).
+
+    Environment detection order mirrors the reference (SLURM → explicit →
+    defaults, ``celldetection/util/util.py:2416-2440``).
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get('SLURM_NTASKS', os.environ.get('JAX_NUM_PROCESSES', 1)))
+    if num_processes <= 1:
+        return False
+    if process_id is None:
+        process_id = int(os.environ.get('SLURM_PROCID', os.environ.get('JAX_PROCESS_ID', 0)))
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes, process_id=process_id)
+    return True
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None, axis_names: Sequence[str] = ('data',),
+              devices=None) -> Mesh:
+    """Create a device mesh. Default: 1-D data mesh over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = 'data', ndim: int = 4) -> NamedSharding:
+    """Batch-dim sharding spec: dim 0 over ``axis``, rest replicated."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def get_rank() -> int:
+    """Process index (multi-host) — SLURM fallback mirrors the reference."""
+    try:
+        return jax.process_index()
+    except RuntimeError:
+        return int(os.environ.get('SLURM_PROCID', 0))
+
+
+def get_num_nodes() -> int:
+    try:
+        return jax.process_count()
+    except RuntimeError:
+        return int(os.environ.get('SLURM_NNODES', 1))
+
+
+def cpu_count() -> int:
+    """Usable CPU count (SLURM-aware; parity: ``util/util.py:2442-2475``)."""
+    slurm = os.environ.get('SLURM_CPUS_PER_TASK')
+    if slurm:
+        return int(slurm)
+    return os.cpu_count() or 1
+
+
+def shard_inputs_by_process(inputs: Sequence, group_level: str = 'rank'):
+    """Round-robin input assignment across processes.
+
+    Replaces MPI ``group_level`` input sharding
+    (``celldetection_scripts/cpn_inference.py:556-581``): ``'rank'`` assigns
+    ``inputs[i]`` to process ``i % num_processes``; ``'job'`` keeps all inputs
+    on every process (single shared job).
+    """
+    if group_level == 'job':
+        return list(inputs)
+    if group_level in ('rank', 'node'):
+        rank, n = get_rank(), get_num_nodes()
+        return [x for i, x in enumerate(inputs) if i % n == rank]
+    raise ValueError(f'Unknown group_level: {group_level}')
+
+
+def host_all_reduce_sum(values: np.ndarray) -> np.ndarray:
+    """Sum a small host array across all processes (metric aggregation).
+
+    Plug into :class:`celldetection_tpu.data.LabelMatcherList` as ``reduce_fn``.
+    Uses a tiny jitted psum over one device per host; identity when single-host.
+    """
+    if get_num_nodes() <= 1:
+        return np.asarray(values)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(np.asarray(values)).sum(0))

@@ -1,0 +1,212 @@
+"""Sharded tiled inference — the gigapixel pipeline.
+
+Replaces the reference's Lightning-driven tile pipeline
+(``celldetection_scripts/cpn_inference.py`` — ``TileLoader`` :51,
+``apply_model`` :311, cross-tile NMS stitch :391-427; and in-process
+``forward_tiled`` ``celldetection/models/lightning_cpn.py:88-177``) with a
+TPU-native design:
+
+  1. Host slices the mosaic into fixed-size tiles (edge tiles are
+     stop-anchored, so every tile has the same static shape).
+  2. Tile batches are sharded over the mesh's ``data`` axis; each chip runs
+     the batched CPN forward with per-tile offsets baked into the decode, so
+     detections come back in *global* coordinates.
+  3. Border filtering (interior tile borders only) and the greedy stitching
+     rule run on-device as mask updates.
+  4. All padded per-tile detections concatenate into one capacity array;
+     one exact-greedy NMS pass de-duplicates across tile overlaps.
+
+All device steps are fixed-shape jit programs; the host never materializes
+per-tile ragged results.
+"""
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import nms_padded
+from ..ops.cpn import remove_border_contours, filter_contours_by_stitching_rule
+from ..util.tiling import get_tiling_slices
+
+__all__ = ['TiledInference', 'tile_image', 'stitch_detections']
+
+
+def tile_image(image: np.ndarray, tile_size: int, stride: int):
+    """Slice a mosaic into fixed-shape tiles.
+
+    Returns:
+        ``(tiles [T, ts, ts, C], offsets [T, 2] (x, y), borders [T, 4]
+        (top, right, bottom, left interior-flags), overlaps [T, 2, 2])``.
+    """
+    if image.ndim == 2:
+        image = image[..., None]
+    h, w, c = image.shape
+    ts = tile_size
+    pad_h, pad_w = max(0, ts - h), max(0, ts - w)
+    if pad_h or pad_w:
+        image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
+        h, w = image.shape[:2]
+    slices, overlaps, shape = get_tiling_slices((h, w), ts, stride, return_overlaps=True)
+    tiles, offs, borders, ovs = [], [], [], []
+    for sl, ov in zip(slices, overlaps):
+        sy, sx = sl
+        tiles.append(image[sy, sx])
+        offs.append((sx.start, sy.start))
+        # interior sides: a border side needs filtering iff the tile does not
+        # touch the mosaic edge on that side (parity: cpn_inference.py:370-381)
+        borders.append((sy.start != 0,            # top
+                        sx.stop != w,             # right
+                        sy.stop != h,             # bottom
+                        sx.start != 0))           # left
+        ovs.append(ov)
+    return (np.stack(tiles), np.asarray(offs, np.float32), np.asarray(borders, bool),
+            np.asarray(ovs, np.float32), shape)
+
+
+def _border_filter(contours, offsets, borders, tile_size, padding):
+    """Vectorized per-tile border filter on global-coordinate contours.
+
+    ``contours [T, K, S, 2]`` (global), ``offsets [T, 2]``, ``borders [T, 4]``.
+    A contour is dropped if it touches a border region of its tile on a side
+    flagged interior.
+    """
+    local = contours - offsets[:, None, None, :]
+    x, y = local[..., 0], local[..., 1]
+    h = w = tile_size
+    viol_top = jnp.any(y <= padding, -1)
+    viol_right = jnp.any(x >= (w - padding), -1)
+    viol_bottom = jnp.any(y >= (h - padding), -1)
+    viol_left = jnp.any(x <= padding, -1)
+    viol = (viol_top & borders[:, None, 0]) | (viol_right & borders[:, None, 1]) | \
+           (viol_bottom & borders[:, None, 2]) | (viol_left & borders[:, None, 3])
+    return ~viol
+
+
+def _stitch_filter(contours, offsets, overlaps, tile_size):
+    """'ex_br' stitching rule vectorized over tiles (global coords)."""
+    local = contours - offsets[:, None, None, :]
+    stop = (jnp.asarray([tile_size, tile_size], jnp.float32)[None]
+            - overlaps[:, :, 1])[:, ::-1]          # [T, 2] (x, y)
+    right_bottom = jnp.all(jnp.any(local >= stop[:, None, None, :], -1), -1)
+    return ~right_bottom
+
+
+def stitch_detections(det: dict, nms_thresh: float, max_outputs: Optional[int] = None,
+                      nms_tile: int = 256) -> dict:
+    """Cross-tile de-dup: flatten [T, K] → [T*K], one exact-greedy NMS pass."""
+    flat = {}
+    t, k = det['valid'].shape
+    for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier', 'valid'):
+        v = det.get(key)
+        flat[key] = None if v is None else v.reshape((t * k,) + v.shape[2:])
+    keep = nms_padded(flat['boxes'], flat['scores'], flat['valid'], nms_thresh, tile=nms_tile)
+    flat['valid'] = keep
+    return flat
+
+
+class TiledInference:
+    """Sliding-window CPN inference over arbitrarily large mosaics.
+
+    Args:
+        model: A :class:`celldetection_tpu.models.CPN` (initialized).
+        tile_size / stride: Window geometry (defaults = reference CLI:
+            1024 / 768, ``cpn_inference.py:451-452``).
+        batch_size: Tiles per device step (padded to a multiple of the mesh
+            data axis). Default: mesh size.
+        border_removal: Interior-border margin in px (default 4).
+        stitching_rule: ``'nms'`` (cross-tile NMS), optionally ``+',ex_br'``.
+        mesh: Optional ``jax.sharding.Mesh`` with a ``'data'`` axis; tile
+            batches are sharded across it.
+    """
+
+    def __init__(self, model, tile_size: int = 1024, stride: int = 768,
+                 batch_size: Optional[int] = None, border_removal: int = 4,
+                 stitching_rule: str = 'nms', mesh=None, nms_tile: int = 256):
+        self.model = model
+        self.tile_size = tile_size
+        self.stride = stride
+        self.border_removal = border_removal
+        self.stitching_rule = stitching_rule
+        self.mesh = mesh
+        n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        self.batch_size = batch_size or max(n_dev, 1)
+        assert self.batch_size % max(n_dev, 1) == 0
+        self.nms_tile = nms_tile
+        self._fn = None
+
+    def _build(self):
+        model, ts = self.model, self.tile_size
+        pad = self.border_removal
+        use_ex_br = 'ex_br' in self.stitching_rule.split(',')
+
+        def tile_forward(variables, tiles, offsets, borders, overlaps, score_thresh):
+            out = model.forward_padded(variables, tiles, score_thresh=score_thresh,
+                                       nms=False, offsets=offsets)
+            valid = out['valid']
+            valid = valid & _border_filter(out['contours'], offsets, borders, ts, pad)
+            if use_ex_br:
+                valid = valid & _stitch_filter(out['contours'], offsets, overlaps, ts)
+            # min-size filter (parity: remove_small_boxes(min_size=1) in
+            # forward_tiled, lightning_cpn.py:122)
+            wh = out['boxes'][..., 2:] - out['boxes'][..., :2]
+            valid = valid & (wh >= 1.).all(-1)
+            out['valid'] = valid
+            return {k: out[k] for k in ('contours', 'boxes', 'scores', 'classes',
+                                        'locations', 'fourier', 'valid')}
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P('data'))
+            repl = NamedSharding(self.mesh, P())
+            self._fn = jax.jit(
+                tile_forward,
+                in_shardings=(repl, shard, shard, shard, shard, repl),
+                out_shardings=repl)
+        else:
+            self._fn = jax.jit(tile_forward)
+
+    def __call__(self, image: np.ndarray, score_thresh: Optional[float] = None) -> dict:
+        """Run tiled inference; returns ragged numpy results in global coords."""
+        if self._fn is None:
+            self._build()
+        model = self.model
+        tiles, offsets, borders, overlaps, _ = tile_image(
+            np.asarray(image), self.tile_size, self.stride)
+        tiles = model.prepare_inputs(tiles)
+        t = tiles.shape[0]
+        bs = self.batch_size
+        st = jnp.asarray(model.score_thresh if score_thresh is None else score_thresh,
+                         jnp.float32)
+
+        chunks = []
+        n_batches = math.ceil(t / bs)
+        for i in range(n_batches):
+            sl = slice(i * bs, (i + 1) * bs)
+            tb, ob, bb, vb = tiles[sl], offsets[sl], borders[sl], overlaps[sl]
+            n = tb.shape[0]
+            if n < bs:  # pad the final batch (padding tiles produce valid=False)
+                reps = bs - n
+                tb = jnp.concatenate([tb, jnp.zeros((reps,) + tb.shape[1:], tb.dtype)])
+                ob = np.concatenate([ob, np.zeros((reps, 2), np.float32)])
+                bb = np.concatenate([bb, np.ones((reps, 4), bool)])
+                vb = np.concatenate([vb, np.zeros((reps, 2, 2), np.float32)])
+            out = self._fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                           jnp.asarray(vb), st)
+            if n < bs:
+                out = {k: (None if v is None else v[:n]) for k, v in out.items()}
+            chunks.append(jax.device_get(out))
+
+        det = {k: np.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None else None
+               for k in chunks[0]}
+        det_j = {k: (None if v is None else jnp.asarray(v)) for k, v in det.items()}
+        flat = stitch_detections(det_j, model.nms_thresh, nms_tile=self.nms_tile)
+        flat = jax.device_get(flat)
+        valid = flat['valid']
+        result = {}
+        for k in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier'):
+            v = flat.get(k)
+            result[k] = None if v is None else v[valid]
+        result['num_tiles'] = t
+        return result

@@ -1,0 +1,81 @@
+"""IO helpers: h5 read/write, yaml/json, image loading.
+
+Behavioral reference: ``celldetection/util/util.py`` — ``to_h5`` (:1357),
+``from_h5`` (:1459), ``to_tiff`` (:1491), yaml/json (:1551-1619),
+``load_image`` (:658).
+"""
+import json
+from typing import Optional
+
+import numpy as np
+
+__all__ = ['to_h5', 'from_h5', 'to_json', 'from_json', 'to_yaml', 'from_yaml', 'load_image',
+           'to_tiff']
+
+
+def to_h5(filename, mode: str = 'w', compression=None, attributes: Optional[dict] = None,
+          **arrays):
+    """Write named arrays to an HDF5 file (+ optional root attributes)."""
+    import h5py
+    with h5py.File(filename, mode) as h:
+        for k, v in arrays.items():
+            if v is None:
+                continue
+            if k in h:
+                del h[k]
+            h.create_dataset(k, data=np.asarray(v), compression=compression)
+        if attributes:
+            for k, v in attributes.items():
+                h.attrs[k] = v
+
+
+def from_h5(filename, *keys):
+    """Read arrays (all keys if none given)."""
+    import h5py
+    with h5py.File(filename, 'r') as h:
+        if not keys:
+            keys = list(h.keys())
+        out = tuple(np.asarray(h[k]) for k in keys)
+    return out[0] if len(out) == 1 else out
+
+
+def to_json(filename, obj):
+    with open(filename, 'w') as f:
+        json.dump(obj, f, indent=2, default=str)
+
+
+def from_json(filename):
+    with open(filename) as f:
+        return json.load(f)
+
+
+def to_yaml(filename, obj):
+    import yaml
+    with open(filename, 'w') as f:
+        yaml.safe_dump(obj, f)
+
+
+def from_yaml(filename):
+    import yaml
+    with open(filename) as f:
+        return yaml.safe_load(f)
+
+
+def load_image(filename) -> np.ndarray:
+    """Load an image file (tiff/png/jpg/...) or an ``.h5::key`` reference."""
+    name = str(filename)
+    if '.h5' in name and '::' in name:
+        fn, key = name.split('::')
+        return from_h5(fn, key)
+    from imageio.v2 import imread
+    return np.asarray(imread(name))
+
+
+def to_tiff(filename, image: np.ndarray, bigtiff: bool = True, **kwargs):
+    """Write a (large) image as TIFF; ZLIB-compressed bigtiff when available."""
+    try:
+        import tifffile
+        tifffile.imwrite(filename, image, bigtiff=bigtiff, compression='zlib', **kwargs)
+    except ImportError:
+        from imageio.v2 import imwrite
+        imwrite(filename, image)

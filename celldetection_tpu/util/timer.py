@@ -1,0 +1,68 @@
+"""Timing utilities with device synchronization.
+
+Behavioral reference: ``celldetection/util/timer.py:61-87`` (keyword timers
+with ``torch.cuda.synchronize``). TPU equivalent: ``block_until_ready`` on a
+probe value + ``jax.profiler`` hooks.
+"""
+import time
+from contextlib import contextmanager
+
+import jax
+
+__all__ = ['start_timer', 'stop_timer', 'timed', 'Timer']
+
+_TIMERS = {}
+
+
+def _sync():
+    # Block until all pending device work completes.
+    jax.block_until_ready(jax.device_put(0))
+
+
+def start_timer(key: str = 'default', cuda: bool = True):
+    """Start (or restart) a named timer; syncs the device first."""
+    if cuda:
+        _sync()
+    _TIMERS[key] = time.perf_counter()
+
+
+def stop_timer(key: str = 'default', cuda: bool = True, verbose: bool = True) -> float:
+    """Stop a named timer and return elapsed seconds."""
+    if cuda:
+        _sync()
+    delta = time.perf_counter() - _TIMERS.pop(key)
+    if verbose:
+        print(f'{key}: {delta * 1e3:.3f} ms')
+    return delta
+
+
+@contextmanager
+def timed(key: str = 'default', verbose: bool = True):
+    start_timer(key)
+    try:
+        yield
+    finally:
+        stop_timer(key, verbose=verbose)
+
+
+class Timer:
+    """Context timer: ``with Timer('fwd') as t: ...; t.seconds``."""
+
+    def __init__(self, name: str = 'timer', sync: bool = True, verbose: bool = False):
+        self.name = name
+        self.sync = sync
+        self.verbose = verbose
+        self.seconds = None
+
+    def __enter__(self):
+        if self.sync:
+            _sync()
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self.sync:
+            _sync()
+        self.seconds = time.perf_counter() - self._t0
+        if self.verbose:
+            print(f'{self.name}: {self.seconds * 1e3:.3f} ms')

@@ -1,0 +1,118 @@
+"""Tests: device mesh, data-parallel training step, sharded tiled inference.
+
+Runs on the 8-device virtual CPU mesh from conftest — validating multi-chip
+sharding semantics without TPU hardware.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from celldetection_tpu import data, models, parallel
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    assert len(jax.devices()) == 8, f'expected 8 virtual devices, got {len(jax.devices())}'
+    return parallel.make_mesh((8,), ('data',))
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    m = models.CpnU22(in_channels=1, max_detections=32, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (8, 64, 64, 1))
+    return m
+
+
+def _batch(n, size=64, samples=8, seed=0):
+    images, items = [], []
+    for i in range(n):
+        img, labels = data.random_geometric_objects(size, size, num=4, radius=(4, 10),
+                                                    seed=seed + i)
+        images.append(img[..., None].astype(np.float32))
+        items.append(data.cpn_targets_single(labels, samples, 5,
+                                             rng=np.random.RandomState(i)))
+    t = data.collate_cpn_targets(items, max_instances=8)
+    return {'image': np.stack(images), **{k: v for k, v in t.items() if k != 'num_instances'}}
+
+
+def test_data_parallel_train_step(mesh8, tiny_model):
+    tx = optax.adam(1e-3)
+    state = parallel.TrainState.create(tiny_model, tx)
+    step = parallel.make_train_step(tiny_model, tx, mesh=mesh8)
+    batch = _batch(8)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+    state, metrics2 = step(state, batch, jax.random.PRNGKey(1))
+    assert state.step == 2
+
+
+def test_data_parallel_matches_single_device(tiny_model):
+    """Sharded loss == unsharded loss (same batch, same rng)."""
+    tx = optax.adam(1e-3)
+    batch = _batch(8)
+    mesh = parallel.make_mesh((8,), ('data',))
+    s1 = parallel.TrainState.create(tiny_model, tx)
+    s2 = parallel.TrainState.create(tiny_model, tx)
+    step_sharded = parallel.make_train_step(tiny_model, tx, mesh=mesh)
+    step_local = parallel.make_train_step(tiny_model, tx, mesh=None)
+    _, m1 = step_sharded(s1, batch, jax.random.PRNGKey(0))
+    _, m2 = step_local(s2, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']), rtol=1e-4)
+
+
+def test_tiled_inference_sharded(mesh8, tiny_model):
+    tiled = parallel.TiledInference(tiny_model, tile_size=64, stride=48, mesh=mesh8)
+    mosaic = np.random.RandomState(0).rand(200, 200).astype(np.float32)
+    out = tiled(mosaic, score_thresh=0.4)
+    assert out['num_tiles'] == 16
+    assert out['boxes'] is not None and out['contours'] is not None
+    # all coordinates within mosaic bounds (global coords)
+    if len(out['contours']):
+        assert out['contours'][..., 0].max() <= 200 and out['contours'][..., 1].max() <= 200
+
+
+def test_tiled_inference_equals_whole_image(tiny_model):
+    """Detections from tiling a small image == detections on the whole image.
+
+    Uses an image smaller than one tile so tiling is trivially one tile.
+    """
+    img = np.random.RandomState(3).rand(64, 64).astype(np.float32)
+    tiled = parallel.TiledInference(tiny_model, tile_size=64, stride=48)
+    out_t = tiled(img, score_thresh=0.4)
+    out_w = tiny_model(img[..., None], score_thresh=0.4)
+    # tiled path additionally drops degenerate boxes (< 1 px side, parity with
+    # forward_tiled's remove_small_boxes) — apply the same filter for comparison
+    bw = out_w['boxes'][0]
+    wh = bw[:, 2:] - bw[:, :2]
+    n_expected = int(((wh >= 1.).all(-1)).sum())
+    assert len(out_t['boxes']) == n_expected
+
+
+def test_shard_inputs_by_process():
+    inputs = list(range(10))
+    assert parallel.shard_inputs_by_process(inputs, 'job') == inputs
+    assert parallel.shard_inputs_by_process(inputs, 'rank') == inputs  # single process
+
+
+def test_host_all_reduce_identity():
+    v = np.asarray([1., 2.])
+    np.testing.assert_array_equal(parallel.host_all_reduce_sum(v), v)
+
+
+def test_stitch_detections_dedups_overlap(tiny_model):
+    """Two overlapping tiles seeing the same object -> one detection."""
+    boxes = jnp.asarray([[[10, 10, 20, 20]], [[10.5, 10, 20.5, 20]]], jnp.float32)
+    det = dict(
+        boxes=boxes,
+        scores=jnp.asarray([[0.9], [0.8]]),
+        contours=jnp.zeros((2, 1, 8, 2)),
+        classes=jnp.ones((2, 1), jnp.int32),
+        locations=jnp.zeros((2, 1, 2)),
+        fourier=jnp.zeros((2, 1, 5, 4)),
+        valid=jnp.ones((2, 1), bool),
+    )
+    flat = parallel.stitch_detections(det, nms_thresh=0.2)
+    assert int(flat['valid'].sum()) == 1
