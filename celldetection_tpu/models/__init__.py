@@ -1,4 +1,6 @@
 from .commons import *
 from .unet import *
+from .resnet import *
+from .fpn import *
 from .cpn import *
-from . import commons, unet, cpn
+from . import commons, unet, resnet, fpn, cpn

@@ -693,6 +693,49 @@ def CpnU12(in_channels: int, backbone_kwargs: dict = None, **kwargs):
     return m
 
 
+def _register_backbone_cpns():
+    """Generate Cpn<Backbone> constructors for every backbone family.
+
+    Zoo parity: ``celldetection/models/cpn.py:771-2086`` (the ~40 Cpn*
+    classes, each pinning a backbone constructor).
+    """
+    from . import fpn as fpn_lib
+
+    specs = {}
+    for name in ['ResNet18', 'ResNet34', 'ResNet50', 'ResNet101', 'ResNet152',
+                 'ResNeXt50', 'ResNeXt101', 'ResNeXt152', 'WideResNet50', 'WideResNet101']:
+        specs[f'Cpn{name}UNet'] = getattr(unet_lib, f'{name}UNet')
+        specs[f'Cpn{name}FPN'] = getattr(fpn_lib, f'{name}FPN')
+
+    def make(cpn_name, backbone_fn):
+        def ctor(in_channels: int, order: int = 5, nms_thresh: float = .2,
+                 score_thresh: float = .9, samples: int = 32, classes: int = 2,
+                 refinement: bool = True, refinement_iterations: int = 4,
+                 refinement_margin: float = 3., refinement_buckets: int = 1,
+                 backbone_kwargs: dict = None, **kwargs):
+            m = _make_cpn(backbone_fn, in_channels, backbone_kwargs, order=order,
+                          nms_thresh=nms_thresh, score_thresh=score_thresh, samples=samples,
+                          classes=classes, refinement=refinement,
+                          refinement_iterations=refinement_iterations,
+                          refinement_margin=refinement_margin,
+                          refinement_buckets=refinement_buckets, **kwargs)
+            m.hparams['model'] = cpn_name
+            return m
+        ctor.__name__ = cpn_name
+        ctor.__doc__ = (f'CPN with {cpn_name[3:]} backbone. '
+                        f'Zoo parity: celldetection/models/cpn.py:771-2086.')
+        return ctor
+
+    for cpn_name, backbone_fn in specs.items():
+        fn = make(cpn_name, backbone_fn)
+        models_by_name[cpn_name] = fn
+        globals()[cpn_name] = fn
+        __all__.append(cpn_name)
+
+
+_register_backbone_cpns()
+
+
 def get_cpn(name: str):
     """Look up a CPN model constructor by name (parity: ``get_cpn``)."""
     if name not in models_by_name:

@@ -175,8 +175,13 @@ class GeneralizedUNet(nn.Module):
 
 
 class BackboneAsUNet(nn.Module):
-    """Encoder backbone + GeneralizedUNet decoder + input normalization."""
-    backbone: Any
+    """Encoder backbone + GeneralizedUNet decoder + input normalization.
+
+    The encoder field is named ``body`` so parameter paths mirror the
+    reference layout (``backbone.body.*`` / ``backbone.unet.*``) for
+    checkpoint transport.
+    """
+    body: Any
     in_channels_list: Sequence[int]
     out_channels: int = 0
     block_cls: Any = None
@@ -204,7 +209,7 @@ class BackboneAsUNet(nn.Module):
         x = inputs
         if self.normalize:
             x = Normalize(self.inputs_mean, self.inputs_std, name='normalize')(x)
-        features = self.backbone(x, train)
+        features = self.body(x, train)
         out = GeneralizedUNet(
             in_channels_list=self.in_channels_list,
             out_channels=self.out_channels,
@@ -236,7 +241,7 @@ def _make_encoder_unet(in_channels, out_channels, base_channels, depth=5, block_
                           base_channels=bk.pop('base_channels', base_channels),
                           block_cls=block_cls, **bk)
     return UNet(
-        backbone=encoder,
+        body=encoder,
         in_channels_list=encoder.out_channels,
         in_strides_list=encoder.out_strides,
         out_channels=out_channels,
@@ -280,3 +285,38 @@ def ResUNet(in_channels, out_channels=0, final_activation=None, backbone_kwargs=
     """U-Net with residual blocks."""
     return _make_encoder_unet(in_channels, out_channels, 64, 5, ResBlock, final_activation,
                               backbone_kwargs, **kwargs)
+
+
+def _backbone_unet(backbone_ctor):
+    """ResNet/ConvNeXt-style encoder (stride 4 start) + bridged UNet decoder."""
+    def ctor(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None,
+             pretrained=False, block_cls=None, **kwargs):
+        encoder = backbone_ctor(in_channels, **(backbone_kwargs or {}))
+        return UNet(
+            body=encoder,
+            in_channels_list=list(encoder.out_channels),
+            in_strides_list=list(encoder.out_strides),
+            out_channels=out_channels,
+            block_cls=block_cls,
+            final_activation=final_activation,
+            **kwargs,
+        )
+    return ctor
+
+
+from . import resnet as _resnet  # noqa: E402  (avoids circular import at module top)
+
+ResNet18UNet = _backbone_unet(_resnet.ResNet18)
+ResNet34UNet = _backbone_unet(_resnet.ResNet34)
+ResNet50UNet = _backbone_unet(_resnet.ResNet50)
+ResNet101UNet = _backbone_unet(_resnet.ResNet101)
+ResNet152UNet = _backbone_unet(_resnet.ResNet152)
+ResNeXt50UNet = _backbone_unet(_resnet.ResNeXt50)
+ResNeXt101UNet = _backbone_unet(_resnet.ResNeXt101)
+ResNeXt152UNet = _backbone_unet(_resnet.ResNeXt152)
+WideResNet50UNet = _backbone_unet(_resnet.WideResNet50)
+WideResNet101UNet = _backbone_unet(_resnet.WideResNet101)
+
+__all__ += ['ResNet18UNet', 'ResNet34UNet', 'ResNet50UNet', 'ResNet101UNet', 'ResNet152UNet',
+            'ResNeXt50UNet', 'ResNeXt101UNet', 'ResNeXt152UNet', 'WideResNet50UNet',
+            'WideResNet101UNet']

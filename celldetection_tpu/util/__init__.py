@@ -2,4 +2,7 @@ from .config import *
 from .tiling import *
 from .timer import *
 from .io import *
-from . import config, tiling, timer, io
+from .serialization import *
+from .torch_import import (translate_cpn_state_dict, import_state_dict,
+                           load_torch_cd_model, export_torch_state_dict)
+from . import config, tiling, timer, io, serialization, torch_import
