@@ -17,8 +17,15 @@ from . import data
 from . import models
 from . import util
 from . import parallel
+from . import optim
+from . import callbacks
+from . import runtime
+from . import visualization
 from .util.config import Config, Schedule, conf2call, conf2optimizer, conf2scheduler
 from .util.tiling import Tiling, get_tiling_slices
 from .data.cpn import CPNTargetGenerator
 from .data.instance_eval import LabelMatcher, LabelMatcherList
 from .parallel.tiles import TiledInference
+from .runtime.trainer import CPNTrainer
+from .runtime.cpn_inference import cpn_inference
+from .util.serialization import fetch_model, load_model, save_model

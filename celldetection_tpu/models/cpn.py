@@ -706,6 +706,26 @@ def _register_backbone_cpns():
                  'ResNeXt50', 'ResNeXt101', 'ResNeXt152', 'WideResNet50', 'WideResNet101']:
         specs[f'Cpn{name}UNet'] = getattr(unet_lib, f'{name}UNet')
         specs[f'Cpn{name}FPN'] = getattr(fpn_lib, f'{name}FPN')
+    for name in ['ConvNeXtTiny', 'ConvNeXtSmall', 'ConvNeXtBase', 'ConvNeXtLarge',
+                 'ConvNeXtV2Tiny', 'ConvNeXtV2Base', 'DenseNet121', 'DenseNet161',
+                 'DenseNet169', 'DenseNet201', 'MobileNetV3Large', 'MobileNetV3Small']:
+        specs[f'Cpn{name}UNet'] = getattr(unet_lib, f'{name}UNet')
+    for name in ['MobileNetV3Large', 'MobileNetV3Small']:
+        specs[f'Cpn{name}FPN'] = getattr(fpn_lib, f'{name}FPN')
+
+    # MaNet decoders over ResNet encoders (the reference couples MaNet with
+    # timm/smp encoders; ResNet encoders are the native equivalent here).
+    from . import manet as manet_lib
+    from . import resnet as resnet_lib
+
+    def _manet_backbone(res_ctor):
+        def ctor(in_channels, out_channels=0, backbone_kwargs=None, **kw):
+            encoder = res_ctor(in_channels, **(backbone_kwargs or {}))
+            return manet_lib.MaNet(body=encoder, **kw)
+        return ctor
+
+    specs['CpnResNet50MaNet'] = _manet_backbone(resnet_lib.ResNet50)
+    specs['CpnResNet18MaNet'] = _manet_backbone(resnet_lib.ResNet18)
 
     def make(cpn_name, backbone_fn):
         def ctor(in_channels: int, order: int = 5, nms_thresh: float = .2,

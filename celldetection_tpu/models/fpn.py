@@ -91,6 +91,20 @@ def _res_fpn(resnet_ctor):
     return ctor
 
 
+def _enc_fpn(ctor_fn):
+    def ctor(in_channels, out_channels: int = 0, backbone_kwargs: dict = None,
+             pretrained=False, **kwargs):
+        backbone = ctor_fn(in_channels, **(backbone_kwargs or {}))
+        return FPN(backbone, **kwargs)
+    return ctor
+
+
+from . import mobilenetv3 as _mnv3  # noqa: E402
+
+MobileNetV3LargeFPN = _enc_fpn(_mnv3.MobileNetV3Large)
+MobileNetV3SmallFPN = _enc_fpn(_mnv3.MobileNetV3Small)
+__all__ += ['MobileNetV3LargeFPN', 'MobileNetV3SmallFPN']
+
 ResNet18FPN = _res_fpn(resnet_lib.ResNet18)
 ResNet34FPN = _res_fpn(resnet_lib.ResNet34)
 ResNet50FPN = _res_fpn(resnet_lib.ResNet50)

@@ -1,0 +1,134 @@
+"""MobileNetV3 encoders — flax.linen (NHWC).
+
+Behavioral reference: ``celldetection/models/mobilenetv3.py:28-95``
+(torchvision-adapted MobileNetV3 Large/Small as multi-scale encoders).
+Inverted-residual settings follow the torchvision configuration tables.
+"""
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .commons import Norm
+
+__all__ = ['MobileNetV3Large', 'MobileNetV3Small']
+
+
+def _make_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _SqueezeExcitation(nn.Module):
+    squeeze_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = jnp.mean(x, (1, 2), keepdims=True)
+        scale = nn.Conv(self.squeeze_channels, (1, 1), name='fc1')(scale)
+        scale = jax.nn.relu(scale)
+        scale = nn.Conv(x.shape[-1], (1, 1), name='fc2')(scale)
+        return x * jax.nn.hard_sigmoid(scale)
+
+
+class _InvertedResidual(nn.Module):
+    kernel: int
+    expanded: int
+    out_c: int
+    use_se: bool
+    use_hs: bool
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = jax.nn.hard_swish if self.use_hs else jax.nn.relu
+        in_c = x.shape[-1]
+        use_res = self.stride == 1 and in_c == self.out_c
+        out = x
+        if self.expanded != in_c:
+            out = nn.Conv(self.expanded, (1, 1), use_bias=False, name='expand')(out)
+            out = Norm('batchnorm2d', name='expand_bn')(out, train)
+            out = act(out)
+        out = nn.Conv(self.expanded, (self.kernel,) * 2, strides=(self.stride,) * 2,
+                      padding=self.kernel // 2, feature_group_count=self.expanded,
+                      use_bias=False, name='dw')(out)
+        out = Norm('batchnorm2d', name='dw_bn')(out, train)
+        out = act(out)
+        if self.use_se:
+            out = _SqueezeExcitation(_make_divisible(self.expanded // 4), name='se')(out)
+        out = nn.Conv(self.out_c, (1, 1), use_bias=False, name='project')(out)
+        out = Norm('batchnorm2d', name='project_bn')(out, train)
+        return x + out if use_res else out
+
+
+# (kernel, expanded, out, SE, HS, stride) — torchvision tables
+_LARGE = [
+    (3, 16, 16, False, False, 1),
+    (3, 64, 24, False, False, 2), (3, 72, 24, False, False, 1),
+    (5, 72, 40, True, False, 2), (5, 120, 40, True, False, 1), (5, 120, 40, True, False, 1),
+    (3, 240, 80, False, True, 2), (3, 200, 80, False, True, 1), (3, 184, 80, False, True, 1),
+    (3, 184, 80, False, True, 1), (3, 480, 112, True, True, 1), (3, 672, 112, True, True, 1),
+    (5, 672, 160, True, True, 2), (5, 960, 160, True, True, 1), (5, 960, 160, True, True, 1),
+]
+_SMALL = [
+    (3, 16, 16, True, False, 2),
+    (3, 72, 24, False, False, 2), (3, 88, 24, False, False, 1),
+    (5, 96, 40, True, True, 2), (5, 240, 40, True, True, 1), (5, 240, 40, True, True, 1),
+    (5, 120, 48, True, True, 1), (5, 144, 48, True, True, 1),
+    (5, 288, 96, True, True, 2), (5, 576, 96, True, True, 1), (5, 576, 96, True, True, 1),
+]
+
+
+class _MobileNetV3(nn.Module):
+    """MobileNetV3 encoder; features collected before each stride-2 block."""
+    settings: Tuple = tuple(_LARGE)
+    in_channels: int = 3
+
+    @property
+    def out_channels(self):
+        oc = [16]
+        for (k, e, o, se, hs, s) in self.settings:
+            if s == 2:
+                oc.append(None)
+            oc[-1] = o
+        # stride-level output channels: channels of last block at each stride level
+        chans, cur = [], 16
+        for (k, e, o, se, hs, s) in self.settings:
+            if s == 2:
+                chans.append(cur)
+            cur = o
+        chans.append(cur)
+        return chans
+
+    @property
+    def out_strides(self):
+        n = len(self.out_channels)
+        return [2 ** (i + 1) for i in range(n)]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=1, use_bias=False, name='stem')(x)
+        x = Norm('batchnorm2d', name='stem_bn')(x, train)
+        x = jax.nn.hard_swish(x)
+        features = {}
+        idx = 0
+        for i, (k, e, o, se, hs, s) in enumerate(self.settings):
+            if s == 2:
+                features[str(idx)] = x
+                idx += 1
+            x = _InvertedResidual(k, e, o, se, hs, s, name=f'block{i}')(x, train)
+        features[str(idx)] = x
+        return features
+
+
+def MobileNetV3Large(in_channels, out_channels=0, pretrained=False, **kwargs):
+    kwargs.pop('nd', None)
+    return _MobileNetV3(settings=tuple(_LARGE), in_channels=in_channels)
+
+
+def MobileNetV3Small(in_channels, out_channels=0, pretrained=False, **kwargs):
+    kwargs.pop('nd', None)
+    return _MobileNetV3(settings=tuple(_SMALL), in_channels=in_channels)

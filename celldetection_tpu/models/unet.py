@@ -320,3 +320,24 @@ WideResNet101UNet = _backbone_unet(_resnet.WideResNet101)
 __all__ += ['ResNet18UNet', 'ResNet34UNet', 'ResNet50UNet', 'ResNet101UNet', 'ResNet152UNet',
             'ResNeXt50UNet', 'ResNeXt101UNet', 'ResNeXt152UNet', 'WideResNet50UNet',
             'WideResNet101UNet']
+
+from . import convnext as _convnext  # noqa: E402
+from . import densenet as _densenet  # noqa: E402
+from . import mobilenetv3 as _mnv3  # noqa: E402
+
+ConvNeXtTinyUNet = _backbone_unet(_convnext.ConvNeXtTiny)
+ConvNeXtSmallUNet = _backbone_unet(_convnext.ConvNeXtSmall)
+ConvNeXtBaseUNet = _backbone_unet(_convnext.ConvNeXtBase)
+ConvNeXtLargeUNet = _backbone_unet(_convnext.ConvNeXtLarge)
+ConvNeXtV2TinyUNet = _backbone_unet(_convnext.ConvNeXtV2Tiny)
+ConvNeXtV2BaseUNet = _backbone_unet(_convnext.ConvNeXtV2Base)
+DenseNet121UNet = _backbone_unet(_densenet.DenseNet121)
+DenseNet161UNet = _backbone_unet(_densenet.DenseNet161)
+DenseNet169UNet = _backbone_unet(_densenet.DenseNet169)
+DenseNet201UNet = _backbone_unet(_densenet.DenseNet201)
+MobileNetV3LargeUNet = _backbone_unet(_mnv3.MobileNetV3Large)
+MobileNetV3SmallUNet = _backbone_unet(_mnv3.MobileNetV3Small)
+
+__all__ += ['ConvNeXtTinyUNet', 'ConvNeXtSmallUNet', 'ConvNeXtBaseUNet', 'ConvNeXtLargeUNet',
+            'ConvNeXtV2TinyUNet', 'ConvNeXtV2BaseUNet', 'DenseNet121UNet', 'DenseNet161UNet',
+            'DenseNet169UNet', 'DenseNet201UNet', 'MobileNetV3LargeUNet', 'MobileNetV3SmallUNet']

@@ -1,0 +1,85 @@
+"""Optimizers & LR schedules (optax).
+
+Behavioral reference: ``celldetection/optim/lr_scheduler.py`` — ``WarmUp``
+(:17, linear MultiplicativeLR warmup), patched ``SequentialLR`` (:77),
+``ReduceLROnPlateau`` with warmup grace (:99); plus the world-size LR scaling
+of ``celldetection/models/lightning_base.py:31,397-440``.
+"""
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import optax
+
+__all__ = ['warmup_schedule', 'sequential_schedule', 'ReduceLROnPlateau',
+           'resolve_rank_factor', 'scaled_lr']
+
+
+def warmup_schedule(steps: int, base: float = 1.0) -> Callable[[int], float]:
+    """Linear warmup multiplier: step/steps ramp to ``base`` (parity: WarmUp)."""
+    def fn(step):
+        return base * np.minimum((np.asarray(step) + 1) / max(steps, 1), 1.0)
+    return fn
+
+
+def sequential_schedule(schedules: Sequence[Callable[[int], float]],
+                        milestones: Sequence[int]) -> Callable[[int], float]:
+    """Chain schedules at step milestones (parity: SequentialLR)."""
+    milestones = list(milestones)
+
+    def fn(step):
+        idx = int(np.searchsorted(milestones, step, side='right'))
+        start = 0 if idx == 0 else milestones[idx - 1]
+        return schedules[idx](step - start)
+    return fn
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR controller with warmup grace period.
+
+    Call ``factor = ctrl.step(metric)`` each eval; multiply the LR by the
+    returned cumulative factor.
+    """
+
+    def __init__(self, factor: float = 0.1, patience: int = 10, mode: str = 'min',
+                 min_lr_factor: float = 1e-4, warmup_grace: int = 0, threshold: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.mode = mode
+        self.min_lr_factor = min_lr_factor
+        self.warmup_grace = warmup_grace
+        self.threshold = threshold
+        self.best = None
+        self.bad_epochs = 0
+        self.current = 1.0
+        self._steps = 0
+
+    def step(self, metric: float) -> float:
+        self._steps += 1
+        if self._steps <= self.warmup_grace:
+            return self.current
+        better = (self.best is None or
+                  (self.mode == 'min' and metric < self.best - self.threshold) or
+                  (self.mode == 'max' and metric > self.best + self.threshold))
+        if better:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.current = max(self.current * self.factor, self.min_lr_factor)
+                self.bad_epochs = 0
+        return self.current
+
+
+def resolve_rank_factor(factor, world_size: int) -> float:
+    """LR scaling by world size: 'sqrt' | 'linear' | float (parity:
+    ``lightning_base.py:31-56``)."""
+    if factor == 'sqrt':
+        return float(np.sqrt(world_size))
+    if factor == 'linear':
+        return float(world_size)
+    return float(factor)
+
+
+def scaled_lr(lr: float, world_size: int, rank_factor='sqrt') -> float:
+    return lr * resolve_rank_factor(rank_factor, world_size)

@@ -1,0 +1,235 @@
+"""Batch tiled-inference pipeline + CLI (``cdt-inference-cpn``).
+
+Behavioral reference: ``celldetection_scripts/cpn_inference.py`` (1035 LoC) —
+``preprocess`` (:196), ``resolve_model`` (:225), ``apply_model`` (:311),
+``cpn_inference`` (:432), ``main`` (:872). Flag names mirror the reference
+CLI so existing invocations port directly.
+
+TPU-native pipeline: inputs are process-sharded (replacing MPI
+``group_level``), each mosaic runs through the mesh-sharded
+:class:`TiledInference` (replacing Lightning's rank-split tile predict +
+``oom_safe_gather_dict``), and per-input outputs (h5 contours/scores/boxes/
+classes, label images, region-property CSVs, overlays) are written by process
+0 of each input.
+"""
+import argparse
+import glob as glob_mod
+import json
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+__all__ = ['cpn_inference', 'preprocess', 'resolve_model', 'main']
+
+
+def preprocess(img: np.ndarray, percentile: Optional[float] = None, gamma: float = 1.,
+               contrast: float = 1., brightness: float = 0., to_rgb: bool = True) -> np.ndarray:
+    """Normalize an input mosaic (parity: ``cpn_inference.py:196-222``).
+
+    uint8 inputs scale by 255; other dtypes percentile-normalize (implicit
+    99.9 when unset). Optional gamma/contrast/brightness, gray→RGB.
+    """
+    from ..data.misc import normalize_percentile
+    if img.dtype == np.uint8 and percentile is None:
+        img = img.astype(np.float32) / 255.
+    else:
+        img = normalize_percentile(img, percentile if percentile is not None else 99.9)
+    if gamma != 1.:
+        img = np.clip(img, 0, 1) ** gamma
+    if contrast != 1. or brightness != 0.:
+        img = np.clip(img * contrast + brightness, 0., 1.)
+    if to_rgb:
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, -1)
+    return img.astype(np.float32)
+
+
+def resolve_model(model: Union[str, object], model_parameters: Optional[str] = None,
+                  input_shape=None, **kwargs):
+    """Model spec → initialized CPN (parity: ``cpn_inference.py:225-254``).
+
+    Accepts a CPN instance, a cdt/.pt checkpoint path, or a hosted name.
+    ``model_parameters``: comma-separated ``key=value`` attribute overrides,
+    typed by the existing attribute (e.g. ``"score_thresh=0.86,samples=128"``).
+    """
+    from ..util.serialization import fetch_model, load_model
+    if isinstance(model, str):
+        if os.path.isfile(model):
+            model = load_model(model, input_shape=input_shape, **kwargs)
+        else:
+            model = fetch_model(model, input_shape=input_shape, **kwargs)
+    if model_parameters:
+        for spec in model_parameters.split(','):
+            k, v = spec.split('=')
+            k = k.strip()
+            if hasattr(model, k):
+                cur = getattr(model, k)
+                typ = type(cur) if cur is not None else float
+                setattr(model, k, typ(v) if typ is not bool else v.lower() in ('1', 'true'))
+                model._jit_cache.clear()
+    return model
+
+
+def _load_inputs(inputs: Union[str, Sequence[str]]) -> List[str]:
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    files = []
+    for i in inputs:
+        if any(c in i for c in '*?['):
+            files += sorted(glob_mod.glob(i))
+        else:
+            files.append(i)
+    return files
+
+
+def cpn_inference(
+        inputs, model, outputs: str = 'outputs', tile_size: int = 1024, stride: int = 768,
+        batch_size: Optional[int] = None, precision: str = '32', border_removal: int = 4,
+        stitching_rule: str = 'nms', min_vote: int = 1, score_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None, percentile: Optional[float] = None,
+        gamma: float = 1., contrast: float = 1., brightness: float = 0.,
+        group_level: str = 'rank', model_parameters: Optional[str] = None,
+        labels: bool = False, flat_labels: bool = False, properties: Optional[List[str]] = None,
+        overlay: bool = False, demo_figure: bool = False, continue_on_exception: bool = False,
+        accelerator: Optional[str] = None, devices=None, num_nodes: int = 1,
+):
+    """Run tiled CPN inference on large input images.
+
+    Args (mirroring the reference CLI):
+        inputs: Filename(s), glob pattern(s), or arrays.
+        model: Model name/path/instance (see :func:`resolve_model`).
+        outputs: Output directory (h5 per input + optional artifacts).
+        tile_size / stride: Sliding-window geometry (defaults 1024/768).
+        precision: '32' or 'bf16' (backbone compute dtype).
+        border_removal: Interior tile-border margin in px.
+        stitching_rule: 'nms' and/or 'ex_br' (comma-separated).
+        score_thresh / nms_thresh: Optional model overrides.
+        group_level: 'job' (all processes on all inputs) or 'rank'
+            (round-robin input sharding across processes).
+        labels / flat_labels: Also write (channelled / flattened) label images.
+        properties: Region properties to export as CSV.
+        overlay: Write an RGBA overlay image.
+
+    Returns:
+        List of per-input result dicts.
+    """
+    import jax.numpy as jnp
+    from ..data.cpn import contours2labels, resolve_label_channels, contours2overlay
+    from ..data.misc import labels2properties
+    from ..parallel import make_mesh, shard_inputs_by_process
+    from ..parallel.tiles import TiledInference
+    from ..util.io import load_image, to_h5
+
+    os.makedirs(outputs, exist_ok=True)
+
+    # Resolve model (+ optional precision/overrides)
+    model = resolve_model(model, model_parameters)
+    if precision in ('bf16', 'bfloat16', '16'):
+        model.compute_dtype = jnp.bfloat16
+        model._jit_cache.clear()
+    if score_thresh is not None:
+        model.score_thresh = score_thresh
+    if nms_thresh is not None:
+        model.nms_thresh = nms_thresh
+        model._jit_cache.clear()
+
+    try:
+        mesh = make_mesh()
+    except Exception:
+        mesh = None
+    tiled = TiledInference(model, tile_size=tile_size, stride=stride,
+                           batch_size=batch_size, border_removal=border_removal,
+                           stitching_rule=stitching_rule, mesh=mesh)
+
+    # Input resolution + process-level sharding (replaces MPI group_level).
+    if isinstance(inputs, np.ndarray):
+        file_list = [inputs]
+    elif isinstance(inputs, (list, tuple)) and len(inputs) and isinstance(inputs[0], np.ndarray):
+        file_list = list(inputs)
+    else:
+        file_list = _load_inputs(inputs)
+    file_list = shard_inputs_by_process(file_list, group_level)
+
+    # gray->RGB only when the model consumes multi-channel input
+    to_rgb = getattr(model, 'hparams', {}).get('in_channels', 3) != 1
+
+    results = []
+    for src in file_list:
+        name = (os.path.splitext(os.path.basename(src))[0]
+                if isinstance(src, str) else f'array{len(results)}')
+        try:
+            img = load_image(src) if isinstance(src, str) else src
+            img = preprocess(img, percentile=percentile, gamma=gamma, contrast=contrast,
+                             brightness=brightness, to_rgb=to_rgb)
+            res = tiled(img)
+            h, w = img.shape[:2]
+            out_fn = os.path.join(outputs, f'{name}.h5')
+            to_h5(out_fn,
+                  contours=res['contours'], scores=res['scores'], boxes=res['boxes'],
+                  classes=res['classes'],
+                  attributes={'args': json.dumps(dict(
+                      tile_size=tile_size, stride=stride, border_removal=border_removal,
+                      stitching_rule=stitching_rule, precision=precision))})
+            if labels or flat_labels or properties:
+                lbl = contours2labels(list(res['contours']), (h, w))
+                if labels:
+                    to_h5(out_fn, mode='a', labels=lbl)
+                if flat_labels or properties:
+                    flat = resolve_label_channels(lbl)
+                    if flat_labels:
+                        to_h5(out_fn, mode='a', flat_labels=flat)
+                    if properties:
+                        import pandas as pd
+                        rows = labels2properties(flat, *properties)
+                        pd.DataFrame(rows, columns=properties).to_csv(
+                            os.path.join(outputs, f'{name}.csv'), index=False)
+            if overlay:
+                ov = contours2overlay(res['contours'], (h, w))
+                from ..util.io import to_tiff
+                to_tiff(os.path.join(outputs, f'{name}_overlay.tiff'), ov)
+            results.append(res)
+        except Exception as e:
+            if continue_on_exception:
+                print(f'cpn_inference: skipping {name}: {type(e).__name__}: {e}')
+                continue
+            raise
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser('cdt-inference-cpn',
+                                description='Tiled CPN inference on TPU (celldetection_tpu)')
+    p.add_argument('-i', '--inputs', nargs='+', required=True,
+                   help='Input files or glob patterns')
+    p.add_argument('-m', '--model', required=True, help='Model name or checkpoint path')
+    p.add_argument('-o', '--outputs', default='outputs', help='Output directory')
+    p.add_argument('--tile_size', type=int, default=1024)
+    p.add_argument('--stride', type=int, default=768)
+    p.add_argument('--batch_size', type=int, default=None)
+    p.add_argument('--precision', default='32', choices=['32', 'bf16'])
+    p.add_argument('--border_removal', type=int, default=4)
+    p.add_argument('--stitching_rule', default='nms')
+    p.add_argument('--score_thresh', type=float, default=None)
+    p.add_argument('--nms_thresh', type=float, default=None)
+    p.add_argument('--percentile', type=float, default=None)
+    p.add_argument('--gamma', type=float, default=1.)
+    p.add_argument('--contrast', type=float, default=1.)
+    p.add_argument('--brightness', type=float, default=0.)
+    p.add_argument('--group_level', default='rank', choices=['job', 'rank', 'node'])
+    p.add_argument('--model_parameters', default=None,
+                   help='Comma-separated key=value model attribute overrides')
+    p.add_argument('--labels', action='store_true')
+    p.add_argument('--flat_labels', action='store_true')
+    p.add_argument('-p', '--properties', nargs='*', default=None)
+    p.add_argument('--overlay', action='store_true')
+    p.add_argument('--demo_figure', action='store_true')
+    p.add_argument('--continue_on_exception', action='store_true')
+    args = vars(p.parse_args())
+    cpn_inference(**{k: v for k, v in args.items()})
+
+
+if __name__ == '__main__':
+    main()

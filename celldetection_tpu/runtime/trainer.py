@@ -1,0 +1,225 @@
+"""Training / evaluation / prediction runtime.
+
+Replaces the reference's Lightning modules
+(``celldetection/models/lightning_base.py`` — training_step :277,
+configure_optimizers :397, evaluation sweep :544-723, calibration :678;
+``lightning_cpn.py`` — _evaluation_step :65, forward_tiled :88) with an
+explicit JAX trainer:
+
+  - jitted train step (optionally mesh-data-parallel) with EMA loss tracking
+  - validation as a **hyperparameter sweep** (e.g. score_thresh values):
+    per-setting instance matching (LabelMatcher), reduced over IoU thresholds
+    0.5..0.9, followed by **self-calibration** — the best setting (by
+    ``f1_np``) is written back onto the model
+  - prediction with automatic tiled forward for inputs > ``max_imsize``
+  - checkpoint save/resume (params + opt state + RNG + step)
+"""
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import optim as optim_lib
+from ..data import (LabelMatcher, LabelMatcherList, collate_cpn_targets, cpn_targets_single,
+                    contours2labels, resolve_label_channels)
+from ..parallel import TiledInference, TrainState, make_train_step
+from ..util.config import conf2optimizer
+
+__all__ = ['CPNTrainer']
+
+
+class CPNTrainer:
+    """Explicit training/eval/predict driver for CPN models.
+
+    Args:
+        model: Initialized :class:`celldetection_tpu.models.CPN`.
+        optimizer: optax transformation or conf dict (``{'Adam': {'lr': ...}}``).
+        scheduler: Optional ``step -> lr multiplier`` callable (see
+            ``celldetection_tpu.optim``); applied via optax.scale_by_schedule.
+        val_hparams: Sweep dict, e.g. ``{'score_thresh': [.5, .86, .88, .9, .92]}``
+            (default parity: ``lightning_cpn.py:36-39``).
+        mesh: Optional data-parallel device mesh.
+        max_imsize: Inputs larger than this use tiled forward (default 2048).
+    """
+
+    def __init__(self, model, optimizer=None, scheduler: Optional[Callable] = None,
+                 val_hparams: Optional[Dict[str, Sequence]] = None, mesh=None,
+                 checkpoint_dir: Optional[str] = None, max_imsize: int = 2048,
+                 tile_size: int = 1024, tile_stride: int = 512,
+                 ema_decay: float = 0.99, log_fn: Callable = print, seed: int = 0):
+        self.model = model
+        if optimizer is None:
+            optimizer = optax.adam(1e-3)
+        elif isinstance(optimizer, dict):
+            optimizer = conf2optimizer(optimizer)
+        if scheduler is not None:
+            optimizer = optax.chain(optimizer,
+                                    optax.scale_by_schedule(lambda s: scheduler(int(s))))
+        self.tx = optimizer
+        self.mesh = mesh
+        self.val_hparams = val_hparams or {'score_thresh': [.5, .86, .88, .9, .92]}
+        self.checkpoint_dir = checkpoint_dir
+        self.max_imsize = max_imsize
+        self.tile_size = tile_size
+        self.tile_stride = tile_stride
+        self.ema_decay = ema_decay
+        self.log_fn = log_fn
+        self.rng = jax.random.PRNGKey(seed)
+        self.state = TrainState.create(model, self.tx)
+        self._step_fn = make_train_step(model, self.tx, mesh=mesh)
+        self._ema_loss = None
+        self.history: List[dict] = []
+        self.best_hparams: Dict[str, float] = {}
+
+    # --- training -----------------------------------------------------------
+
+    def fit(self, train_data, epochs: int = 1, batch_size: int = 4,
+            max_instances: int = 128, val_data=None, val_every: int = 1,
+            samples: Optional[int] = None, order: Optional[int] = None,
+            shuffle: bool = True):
+        """Train on a dataset of ``(image, labels)`` pairs.
+
+        Targets are generated host-side per item (CPNTargetGenerator) while the
+        previous device step runs — the host/device pipeline overlaps naturally
+        through JAX's async dispatch.
+        """
+        samples = samples or self.model.samples
+        order = order or self.model.order
+        n = len(train_data)
+        order_idx = np.arange(n)
+        rng_np = np.random.RandomState(0)
+        for epoch in range(epochs):
+            if shuffle:
+                rng_np.shuffle(order_idx)
+            t0 = time.time()
+            for start in range(0, n - batch_size + 1, batch_size):
+                idx = order_idx[start:start + batch_size]
+                images, items = [], []
+                for i in idx:
+                    image, labels = train_data[int(i)]
+                    if image.ndim == 2:
+                        image = image[..., None]
+                    items.append(cpn_targets_single(np.ascontiguousarray(labels), samples,
+                                                    order, rng=rng_np))
+                    images.append(np.asarray(image, np.float32))
+                targets = collate_cpn_targets(items, max_instances=max_instances)
+                batch = {'image': np.stack(images),
+                         **{k: v for k, v in targets.items() if k != 'num_instances'}}
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self._step_fn(self.state, batch, sub)
+                loss = float(metrics['loss'])
+                self._ema_loss = loss if self._ema_loss is None else \
+                    self.ema_decay * self._ema_loss + (1 - self.ema_decay) * loss
+            self.log_fn(f'epoch {epoch}: loss={loss:.4f} ema={self._ema_loss:.4f} '
+                        f'({time.time() - t0:.1f}s)')
+            self.history.append({'epoch': epoch, 'loss': loss, 'ema_loss': self._ema_loss})
+            if val_data is not None and (epoch + 1) % val_every == 0:
+                self.validate(val_data)
+            if self.checkpoint_dir:
+                self.save_checkpoint(os.path.join(self.checkpoint_dir, 'last.ckpt'))
+        self.model.variables = self.state.variables()
+        return self.history
+
+    # --- validation sweep + calibration ------------------------------------
+
+    def validate(self, val_data, iou_threshs: Sequence[float] = (.5, .6, .7, .8, .9),
+                 calibrate: bool = True, reduce_fn=None) -> Dict[str, float]:
+        """Hyperparameter-sweep validation with self-calibration.
+
+        For every combination of ``val_hparams`` values, runs inference on all
+        validation items, matches instances (LabelMatcher), reduces metrics
+        over ``iou_threshs`` and, if ``calibrate``, sets the model attributes
+        to the best setting by ``f1_np``.
+        """
+        from itertools import product as iproduct
+        self.model.variables = self.state.variables()
+        keys = list(self.val_hparams.keys())
+        combos = list(iproduct(*self.val_hparams.values()))
+        results = {}
+        for combo in combos:
+            setting = dict(zip(keys, combo))
+            matchers = LabelMatcherList(reduce_fn=reduce_fn)
+            for image, labels in val_data:
+                if image.ndim == 2:
+                    image = image[..., None]
+                pred = self._predict_single(np.asarray(image, np.float32), **setting)
+                h, w = image.shape[:2]
+                pred_labels = resolve_label_channels(
+                    contours2labels(list(pred['contours']), (h, w)))
+                target_labels = labels.max(-1) if labels.ndim == 3 else labels
+                matchers.append(LabelMatcher(pred_labels, target_labels))
+            metrics = {}
+            for it in iou_threshs:
+                matchers.iou_thresh = it
+                metrics[f'f1_np_{it}'] = matchers.f1_np
+                metrics[f'avg_f1_{it}'] = matchers.avg_f1
+                metrics[f'jaccard_np_{it}'] = matchers.jaccard_np
+            metrics['f1_np'] = float(np.mean([metrics[f'f1_np_{t}'] for t in iou_threshs]))
+            metrics['avg_f1'] = float(np.mean([metrics[f'avg_f1_{t}'] for t in iou_threshs]))
+            results[combo] = metrics
+            self.log_fn(f'val {setting}: f1_np={metrics["f1_np"]:.4f}')
+        best_combo = max(results, key=lambda c: results[c]['f1_np'])
+        self.best_hparams = dict(zip(keys, best_combo))
+        if calibrate:
+            for k, v in self.best_hparams.items():
+                setattr(self.model, k, v)
+                self.model._jit_cache.clear()
+            self.log_fn(f'calibrated: {self.best_hparams} '
+                        f'(f1_np={results[best_combo]["f1_np"]:.4f})')
+        out = dict(results[best_combo])
+        out['best_hparams'] = self.best_hparams
+        return out
+
+    # --- prediction ---------------------------------------------------------
+
+    def _predict_single(self, image: np.ndarray, **hparams) -> dict:
+        h, w = image.shape[:2]
+        if max(h, w) > self.max_imsize:
+            tiled = TiledInference(self.model, tile_size=self.tile_size,
+                                   stride=self.tile_stride, mesh=self.mesh)
+            return tiled(image, score_thresh=hparams.get('score_thresh'))
+        out = self.model(image, **hparams)
+        return {k: (v[0] if isinstance(v, list) else v) for k, v in out.items()}
+
+    def predict(self, images) -> List[dict]:
+        """Predict on one or more images (auto-tiled when large)."""
+        self.model.variables = self.state.variables()
+        if isinstance(images, np.ndarray) and images.ndim <= 3:
+            images = [images]
+        return [self._predict_single(np.asarray(im, np.float32)) for im in images]
+
+    # --- checkpointing ------------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        """Save params/model-state/opt-state/step/RNG (msgpack)."""
+        import msgpack
+        from flax import serialization
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        payload = {
+            'variables': serialization.to_bytes(self.state.variables()),
+            'opt_state': serialization.to_bytes(self.state.opt_state),
+            'step': self.state.step,
+            'rng': np.asarray(jax.random.key_data(self.rng)).tolist(),
+            'best_hparams': self.best_hparams,
+        }
+        with open(path, 'wb') as f:
+            f.write(msgpack.packb(payload))
+
+    def load_checkpoint(self, path: str):
+        import msgpack
+        from flax import serialization
+        with open(path, 'rb') as f:
+            payload = msgpack.unpackb(f.read(), strict_map_key=False)
+        variables = serialization.from_bytes(self.state.variables(), payload['variables'])
+        self.state.params = variables['params']
+        self.state.model_state = {k: v for k, v in variables.items() if k != 'params'}
+        self.state.opt_state = serialization.from_bytes(self.state.opt_state,
+                                                        payload['opt_state'])
+        self.state.step = payload['step']
+        self.rng = jax.random.wrap_key_data(jnp.asarray(payload['rng'], jnp.uint32))
+        self.best_hparams = payload.get('best_hparams', {})
+        self.model.variables = self.state.variables()

@@ -5,4 +5,9 @@ from .io import *
 from .serialization import *
 from .torch_import import (translate_cpn_state_dict, import_state_dict,
                            load_torch_cd_model, export_torch_state_dict)
-from . import config, tiling, timer, io, serialization, torch_import
+from .logging import MetricsLogger, log_figure
+from .surgery import *
+from .system import *
+from .shm_cache import ShmCache
+from . import (config, tiling, timer, io, serialization, torch_import, logging,
+               surgery, system, shm_cache)

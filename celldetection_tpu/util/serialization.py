@@ -29,9 +29,18 @@ hosted_models = {
 
 
 def model2dict(model) -> dict:
-    """CPN model → serializable dict (architecture + parameters)."""
+    """CPN model → serializable dict (architecture + parameters).
+
+    Mutable runtime settings (thresholds, samples, capacity) are captured at
+    their *current* values — parity with the reference's ``updated_kwargs``
+    (``celldetection/util/util.py:527-543``).
+    """
     from flax import serialization
     hparams = {k: v for k, v in model.hparams.items()}
+    for attr in ('score_thresh', 'nms_thresh', 'samples', 'order', 'certainty_thresh',
+                 'max_detections', 'refinement_iterations'):
+        if hasattr(model, attr):
+            hparams[attr] = getattr(model, attr)
     return {
         'cdt.models': {'model': hparams.get('model'), 'kwargs': hparams},
         'params_bytes': serialization.to_bytes(model.variables),
@@ -62,7 +71,7 @@ def dict2model(d: dict, **overrides):
                                               for p in sig.parameters.values())}
     model = ctor(in_channels, backbone_kwargs=backbone_kwargs, **accepted)
     if 'params_bytes' in d:
-        input_shape = tuple(kwargs.get('input_shape', (1, 128, 128, in_channels)))
+        input_shape = tuple(kwargs.get('input_shape') or (1, 128, 128, in_channels))
         template = model.init(input_shape=input_shape)
         model.variables = serialization.from_bytes(template, d['params_bytes'])
     return model

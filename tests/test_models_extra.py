@@ -1,0 +1,116 @@
+"""Tests: additional backbones (ConvNeXt/DenseNet/MobileNetV3/MaNet), filters, viz."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celldetection_tpu import models
+
+
+X32 = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+
+
+@pytest.mark.parametrize('name', [
+    'CpnConvNeXtTinyUNet', 'CpnDenseNet121UNet', 'CpnMobileNetV3SmallFPN',
+    'CpnResNet18MaNet',
+])
+def test_backbone_cpn_variants(name):
+    m = models.get_cpn(name)(in_channels=3, max_detections=16, samples=8)
+    m.init(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    out = m(X32, score_thresh=0.3)
+    assert len(out['contours']) == 1
+    assert out['contours'][0].shape[1:] == (8, 2)
+
+
+def test_encoder_feature_shapes():
+    enc = models.ConvNeXtTiny(3)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    f = enc.apply(v, jnp.zeros((1, 64, 64, 3)), False)
+    assert [f[k].shape[-1] for k in sorted(f)] == list(enc.out_channels)
+    assert f['0'].shape[1] == 16  # stride 4
+
+    enc2 = models.DenseNet121(3)
+    v2 = enc2.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    f2 = enc2.apply(v2, jnp.zeros((1, 64, 64, 3)), False)
+    assert [f2[k].shape[-1] for k in sorted(f2)] == list(enc2.out_channels)
+
+    enc3 = models.MobileNetV3Small(3)
+    v3 = enc3.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    f3 = enc3.apply(v3, jnp.zeros((1, 64, 64, 3)), False)
+    assert len(f3) == len(enc3.out_channels)
+
+
+def test_convnext_grn_and_v2():
+    enc = models.ConvNeXtV2Atto(3)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), False)
+    # V2 has GRN params, no layer_scale
+    flat = str(jax.tree_util.tree_structure(v))
+    assert 'grn' in flat and 'layer_scale' not in flat
+
+
+def test_filters():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 2).astype(np.float32))
+    for f in [models.GaussianFilter2d(5), models.SobelFilter2d(), models.BoxFilter2d(3),
+              models.LaplaceFilter2d(), models.PascalFilter2d(5)]:
+        v = f.init(jax.random.PRNGKey(0), x)
+        y = f.apply(v, x)
+        assert y.shape == x.shape
+    edge = models.EdgeFilter2d()
+    v = edge.init(jax.random.PRNGKey(0), x)
+    y = edge.apply(v, x)
+    assert y.shape == x.shape and (np.asarray(y) >= 0).all()
+    # box filter preserves mean
+    bf = models.BoxFilter2d(3)
+    ones = jnp.ones((1, 8, 8, 1))
+    y = bf.apply(bf.init(jax.random.PRNGKey(0), ones), ones)
+    np.testing.assert_allclose(np.asarray(y)[0, 2:-2, 2:-2, 0], 1., rtol=1e-5)
+
+
+def test_ppm():
+    ppm = models.Ppm(out_channels=8)
+    x = jnp.zeros((1, 24, 24, 16))
+    v = ppm.init(jax.random.PRNGKey(0), x)
+    y = ppm.apply(v, x)
+    assert y.shape == (1, 24, 24, 16 + 4 * 8)
+
+
+def test_multiscale_features():
+    mf = models.MultiscaleBasicFeatures(sigmas=(1.0, 2.0))
+    x = jnp.zeros((1, 32, 32, 1))
+    v = mf.init(jax.random.PRNGKey(0), x)
+    y = mf.apply(v, x)
+    assert y.shape[-1] == 2 * (1 + 1 + 2)  # per sigma: intensity + edge + 2 texture
+
+
+def test_pixel_norm():
+    pn = models.PixelNorm()
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 4, 8).astype(np.float32))
+    y = pn.apply({}, x)
+    norms = np.asarray(jnp.mean(jnp.square(y), -1))
+    np.testing.assert_allclose(norms, 1., rtol=1e-4)
+
+
+def test_visualization_roundtrip(tmp_path):
+    from celldetection_tpu import visualization as viz
+    img = np.random.RandomState(0).rand(32, 32)
+    cons = [np.array([[5, 5], [10, 5], [10, 10], [5, 10]], float)]
+    ax = viz.show_detection(image=img, contours=cons, boxes=[[5, 5, 10, 10]],
+                            scores=[0.9], locations=[[7, 7]])
+    fig = ax.figure
+    arr = viz.figure2img(fig)
+    assert arr.ndim == 3
+    viz.save_fig(str(tmp_path / 'fig.png'), fig)
+    lbl = np.zeros((16, 16), np.int32)
+    lbl[2:6, 2:6] = 1
+    rgb = viz.label_cmap(lbl, seed=0)
+    assert rgb.shape == (16, 16, 3)
+
+
+def test_metrics_logger(tmp_path):
+    from celldetection_tpu.util import MetricsLogger
+    ml = MetricsLogger(str(tmp_path), 'm')
+    ml.log(0, loss=1.0)
+    ml.log(1, loss=0.5)
+    import json
+    lines = [json.loads(l) for l in open(ml.path)]
+    assert len(lines) == 2 and lines[1]['loss'] == 0.5
