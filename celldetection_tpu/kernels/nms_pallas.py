@@ -122,9 +122,9 @@ def nms_pallas_impl(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(b.astype(jnp.float32), v.astype(jnp.float32)[:, None])
-    keep_sorted = keep_f[:, 0] > 0.
+    keep_sorted = keep_f[:n, 0] > 0.
     out = jnp.zeros((n,), bool)
-    out = out.at[order[:np_tot]].max(keep_sorted)
+    out = out.at[order].max(keep_sorted)
     return out & valid
 
 

@@ -106,6 +106,21 @@ def stitch_detections(det: dict, nms_thresh: float, max_outputs: Optional[int] =
     return flat
 
 
+def compact_detections(flat: dict, max_outputs: int) -> dict:
+    """Device-side compaction: gather the kept detections into a dense
+    ``[max_outputs]`` buffer (score-sorted) so only the compacted result needs
+    host transfer — the PJRT host link is the bottleneck for gigapixel runs.
+    """
+    order = jnp.argsort(jnp.where(flat['valid'], flat['scores'], -jnp.inf),
+                        descending=True)[:max_outputs]
+    out = {}
+    for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier', 'valid'):
+        v = flat.get(key)
+        out[key] = None if v is None else v[order]
+    out['num_valid'] = flat['valid'].sum()
+    return out
+
+
 class TiledInference:
     """Sliding-window CPN inference over arbitrarily large mosaics.
 
@@ -123,7 +138,8 @@ class TiledInference:
 
     def __init__(self, model, tile_size: int = 1024, stride: int = 768,
                  batch_size: Optional[int] = None, border_removal: int = 4,
-                 stitching_rule: str = 'nms', mesh=None, nms_tile: int = 256):
+                 stitching_rule: str = 'nms', mesh=None, nms_tile: int = 256,
+                 max_outputs: int = 100_000):
         self.model = model
         self.tile_size = tile_size
         self.stride = stride
@@ -134,7 +150,9 @@ class TiledInference:
         self.batch_size = batch_size or max(n_dev, 1)
         assert self.batch_size % max(n_dev, 1) == 0
         self.nms_tile = nms_tile
+        self.max_outputs = max_outputs
         self._fn = None
+        self._stitch_fn = None
 
     def _build(self):
         model, ts = self.model, self.tile_size
@@ -180,6 +198,8 @@ class TiledInference:
         st = jnp.asarray(model.score_thresh if score_thresh is None else score_thresh,
                          jnp.float32)
 
+        # Per-tile results stay ON DEVICE; only the final compacted detections
+        # transfer to host (the PJRT host link is slow relative to ICI/HBM).
         chunks = []
         n_batches = math.ceil(t / bs)
         for i in range(n_batches):
@@ -196,17 +216,25 @@ class TiledInference:
                            jnp.asarray(vb), st)
             if n < bs:
                 out = {k: (None if v is None else v[:n]) for k, v in out.items()}
-            chunks.append(jax.device_get(out))
+            chunks.append(out)
 
-        det = {k: np.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None else None
-               for k in chunks[0]}
-        det_j = {k: (None if v is None else jnp.asarray(v)) for k, v in det.items()}
-        flat = stitch_detections(det_j, model.nms_thresh, nms_tile=self.nms_tile)
-        flat = jax.device_get(flat)
-        valid = flat['valid']
+        det = {k: (jnp.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None
+                   else None) for k in chunks[0]}
+        if self._stitch_fn is None:
+            nms_thresh, nms_tile, max_out = model.nms_thresh, self.nms_tile, self.max_outputs
+
+            def _stitch(d):
+                flat = stitch_detections(d, nms_thresh, nms_tile=nms_tile)
+                return compact_detections(flat, max_out)
+
+            self._stitch_fn = jax.jit(_stitch)
+        compact = jax.device_get(self._stitch_fn(det))
+        valid = compact['valid']
         result = {}
         for k in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier'):
-            v = flat.get(k)
+            v = compact.get(k)
             result[k] = None if v is None else v[valid]
         result['num_tiles'] = t
+        result['num_valid'] = int(compact['num_valid'])
+        result['overflow'] = bool(compact['num_valid'] > self.max_outputs)
         return result
