@@ -11,5 +11,7 @@ from .ppm import *
 from .features import *
 from .normalization import *
 from .cpn import *
+from .inference import Inference
+from .mamba import Mamba, MambaLayer, selective_scan
 from . import (commons, unet, resnet, fpn, convnext, densenet, mobilenetv3, manet,
-               filters, ppm, features, normalization, cpn)
+               filters, ppm, features, normalization, cpn, inference, mamba)

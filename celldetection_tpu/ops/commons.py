@@ -34,14 +34,22 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 
 
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Nearest NHWC resize (torch 'nearest' flavor: floor of scaled index)."""
+    """Nearest NHWC resize (torch 'nearest' flavor: floor of scaled index).
+
+    Integer upsampling factors lower to a broadcast+reshape (TPU-fast path);
+    everything else falls back to a gather. Matches torch semantics
+    (``src = floor(dst * in/out)``) in both paths.
+    """
     n, h, w, c = x.shape
-    if (h, w) == tuple(size):
+    th, tw = size
+    if (h, w) == (th, tw):
         return x
-    # torch 'nearest' picks src = floor(dst * h_in / h_out); jax.image.resize
-    # 'nearest' rounds half-integer centers, which differs. Emulate torch.
-    ys = (jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
-    xs = (jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
+    if th % h == 0 and tw % w == 0:
+        fy, fx = th // h, tw // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, fy, w, fx, c))
+        return x.reshape(n, th, tw, c)
+    ys = (jnp.arange(th) * (h / th)).astype(jnp.int32)
+    xs = (jnp.arange(tw) * (w / tw)).astype(jnp.int32)
     return x[:, ys][:, :, xs]
 
 

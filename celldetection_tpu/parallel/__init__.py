@@ -1,4 +1,5 @@
 from .mesh import *
 from .tiles import *
 from .train import *
-from . import mesh, tiles, train
+from .tasks import serve, query, sink, TaskServer
+from . import mesh, tiles, train, tasks

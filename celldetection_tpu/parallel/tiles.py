@@ -154,14 +154,16 @@ class TiledInference:
         self._fn = None
         self._stitch_fn = None
 
-    def _build(self):
+    def _build(self, use_bounds: bool = False):
         model, ts = self.model, self.tile_size
         pad = self.border_removal
         use_ex_br = 'ex_br' in self.stitching_rule.split(',')
 
-        def tile_forward(variables, tiles, offsets, borders, overlaps, score_thresh):
+        def tile_forward(variables, tiles, offsets, borders, overlaps, score_thresh,
+                         lower=None, upper=None):
             out = model.forward_padded(variables, tiles, score_thresh=score_thresh,
-                                       nms=False, offsets=offsets)
+                                       nms=False, offsets=offsets,
+                                       scores_lower_bound=lower, scores_upper_bound=upper)
             valid = out['valid']
             valid = valid & _border_filter(out['contours'], offsets, borders, ts, pad)
             if use_ex_br:
@@ -174,26 +176,73 @@ class TiledInference:
             return {k: out[k] for k in ('contours', 'boxes', 'scores', 'classes',
                                         'locations', 'fourier', 'valid')}
 
+        n_extra = 2 if use_bounds else 0
+        if not use_bounds:
+            wrapped = lambda v, t, o, b, ov, st: tile_forward(v, t, o, b, ov, st)
+        else:
+            wrapped = tile_forward
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(self.mesh, P('data'))
             repl = NamedSharding(self.mesh, P())
-            self._fn = jax.jit(
-                tile_forward,
-                in_shardings=(repl, shard, shard, shard, shard, repl),
-                out_shardings=repl)
+            fn = jax.jit(wrapped,
+                         in_shardings=(repl, shard, shard, shard, shard, repl) +
+                                      (shard,) * n_extra,
+                         out_shardings=repl)
         else:
-            self._fn = jax.jit(tile_forward)
+            fn = jax.jit(wrapped)
+        if use_bounds:
+            self._fn_bounds = fn
+        else:
+            self._fn = fn
 
-    def __call__(self, image: np.ndarray, score_thresh: Optional[float] = None) -> dict:
-        """Run tiled inference; returns ragged numpy results in global coords."""
-        if self._fn is None:
+    def __call__(self, image: np.ndarray, score_thresh: Optional[float] = None,
+                 mask: Optional[np.ndarray] = None,
+                 point_mask: Optional[np.ndarray] = None) -> dict:
+        """Run tiled inference; returns ragged numpy results in global coords.
+
+        Args:
+            mask: Optional fg mask; detections suppressed outside (score upper
+                bound) and empty-mask tiles skipped entirely (parity:
+                ``cpn_inference.py:94-111``).
+            point_mask: Optional prompt mask; scores forced up at marked
+                pixels (score lower bound).
+        """
+        use_bounds = mask is not None or point_mask is not None
+        if use_bounds and getattr(self, '_fn_bounds', None) is None:
+            self._build(use_bounds=True)
+        if self._fn is None and not use_bounds:
             self._build()
         model = self.model
         tiles, offsets, borders, overlaps, _ = tile_image(
             np.asarray(image), self.tile_size, self.stride)
         tiles = model.prepare_inputs(tiles)
+
+        upper_tiles = lower_tiles = None
+        if use_bounds:
+            def crop_tiles(m):
+                if m is None:
+                    return None
+                cts, _, _, _, _ = tile_image(np.asarray(m, np.float32), self.tile_size,
+                                             self.stride)
+                return cts[..., :1]
+            upper_tiles = crop_tiles(mask)
+            lower_tiles = crop_tiles(point_mask)
+            if mask is not None:
+                nonempty = upper_tiles.reshape(upper_tiles.shape[0], -1).max(-1) > 0
+                tiles = tiles[nonempty]
+                offsets, borders, overlaps = (offsets[nonempty], borders[nonempty],
+                                              overlaps[nonempty])
+                upper_tiles = upper_tiles[nonempty]
+                if lower_tiles is not None:
+                    lower_tiles = lower_tiles[nonempty]
         t = tiles.shape[0]
+        if t == 0:
+            empty = {k: np.zeros((0,) + s, np.float32) for k, s in
+                     dict(contours=(model.samples, 2), boxes=(4,), scores=(),
+                          classes=(), locations=(2,), fourier=(model.order, 4)).items()}
+            empty.update(num_tiles=0, num_valid=0, overflow=False)
+            return empty
         bs = self.batch_size
         st = jnp.asarray(model.score_thresh if score_thresh is None else score_thresh,
                          jnp.float32)
@@ -206,14 +255,26 @@ class TiledInference:
             sl = slice(i * bs, (i + 1) * bs)
             tb, ob, bb, vb = tiles[sl], offsets[sl], borders[sl], overlaps[sl]
             n = tb.shape[0]
+            ub = None if upper_tiles is None else upper_tiles[sl]
+            lb = None if lower_tiles is None else lower_tiles[sl]
             if n < bs:  # pad the final batch (padding tiles produce valid=False)
                 reps = bs - n
                 tb = jnp.concatenate([tb, jnp.zeros((reps,) + tb.shape[1:], tb.dtype)])
                 ob = np.concatenate([ob, np.zeros((reps, 2), np.float32)])
                 bb = np.concatenate([bb, np.ones((reps, 4), bool)])
                 vb = np.concatenate([vb, np.zeros((reps, 2, 2), np.float32)])
-            out = self._fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
-                           jnp.asarray(vb), st)
+                if ub is not None:
+                    ub = np.concatenate([ub, np.zeros((reps,) + ub.shape[1:], ub.dtype)])
+                if lb is not None:
+                    lb = np.concatenate([lb, np.zeros((reps,) + lb.shape[1:], lb.dtype)])
+            if use_bounds:
+                ub_j = jnp.asarray(ub) if ub is not None else jnp.ones(tb.shape[:3] + (1,))
+                lb_j = jnp.asarray(lb) if lb is not None else jnp.zeros(tb.shape[:3] + (1,))
+                out = self._fn_bounds(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                                      jnp.asarray(vb), st, lb_j, ub_j)
+            else:
+                out = self._fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                               jnp.asarray(vb), st)
             if n < bs:
                 out = {k: (None if v is None else v[:n]) for k, v in out.items()}
             chunks.append(out)

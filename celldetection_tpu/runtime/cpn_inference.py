@@ -86,7 +86,8 @@ def _load_inputs(inputs: Union[str, Sequence[str]]) -> List[str]:
 
 
 def cpn_inference(
-        inputs, model, outputs: str = 'outputs', tile_size: int = 1024, stride: int = 768,
+        inputs, model, outputs: str = 'outputs', masks=None, point_masks=None,
+        tile_size: int = 1024, stride: int = 768,
         batch_size: Optional[int] = None, precision: str = '32', border_removal: int = 4,
         stitching_rule: str = 'nms', min_vote: int = 1, score_thresh: Optional[float] = None,
         nms_thresh: Optional[float] = None, percentile: Optional[float] = None,
@@ -151,20 +152,24 @@ def cpn_inference(
         file_list = list(inputs)
     else:
         file_list = _load_inputs(inputs)
-    file_list = shard_inputs_by_process(file_list, group_level)
+    mask_list = _load_inputs(masks) if masks else None
+    point_list = _load_inputs(point_masks) if point_masks else None
+    file_list = shard_inputs_by_process(list(enumerate(file_list)), group_level)
 
     # gray->RGB only when the model consumes multi-channel input
     to_rgb = getattr(model, 'hparams', {}).get('in_channels', 3) != 1
 
     results = []
-    for src in file_list:
+    for src_idx, src in file_list:
         name = (os.path.splitext(os.path.basename(src))[0]
-                if isinstance(src, str) else f'array{len(results)}')
+                if isinstance(src, str) else f'array{src_idx}')
         try:
             img = load_image(src) if isinstance(src, str) else src
             img = preprocess(img, percentile=percentile, gamma=gamma, contrast=contrast,
                              brightness=brightness, to_rgb=to_rgb)
-            res = tiled(img)
+            mask = load_image(mask_list[src_idx]) if mask_list else None
+            pmask = load_image(point_list[src_idx]) if point_list else None
+            res = tiled(img, mask=mask, point_mask=pmask)
             h, w = img.shape[:2]
             out_fn = os.path.join(outputs, f'{name}.h5')
             to_h5(out_fn,
@@ -206,6 +211,10 @@ def main():
                    help='Input files or glob patterns')
     p.add_argument('-m', '--model', required=True, help='Model name or checkpoint path')
     p.add_argument('-o', '--outputs', default='outputs', help='Output directory')
+    p.add_argument('--masks', nargs='*', default=None,
+                   help='Optional fg masks (paired with inputs); suppress detections outside')
+    p.add_argument('--point_masks', nargs='*', default=None,
+                   help='Optional point-prompt masks (paired with inputs)')
     p.add_argument('--tile_size', type=int, default=1024)
     p.add_argument('--stride', type=int, default=768)
     p.add_argument('--batch_size', type=int, default=None)

@@ -80,20 +80,32 @@ class CPNTrainer:
     def fit(self, train_data, epochs: int = 1, batch_size: int = 4,
             max_instances: int = 128, val_data=None, val_every: int = 1,
             samples: Optional[int] = None, order: Optional[int] = None,
-            shuffle: bool = True):
+            shuffle: bool = True, adaptive_sampling: bool = False,
+            sampling_alpha: float = 1.0):
         """Train on a dataset of ``(image, labels)`` pairs.
 
         Targets are generated host-side per item (CPNTargetGenerator) while the
         previous device step runs — the host/device pipeline overlaps naturally
         through JAX's async dispatch.
+
+        ``adaptive_sampling`` re-weights item sampling by per-item EMA loss at
+        each epoch end (parity: ``lightning_base.py:322-371``'s item records +
+        ``update_sampler_weights``).
         """
         samples = samples or self.model.samples
         order = order or self.model.order
         n = len(train_data)
         order_idx = np.arange(n)
         rng_np = np.random.RandomState(0)
+        item_loss = np.zeros(n)
+        item_seen = np.zeros(n, bool)
         for epoch in range(epochs):
-            if shuffle:
+            if adaptive_sampling and item_seen.all():
+                w = np.power(np.maximum(item_loss, 1e-8), sampling_alpha)
+                w = w / w.sum()
+                order_idx = rng_np.choice(n, size=n, replace=True, p=w)
+            elif shuffle:
+                order_idx = np.arange(n)
                 rng_np.shuffle(order_idx)
             t0 = time.time()
             for start in range(0, n - batch_size + 1, batch_size):
@@ -114,6 +126,12 @@ class CPNTrainer:
                 loss = float(metrics['loss'])
                 self._ema_loss = loss if self._ema_loss is None else \
                     self.ema_decay * self._ema_loss + (1 - self.ema_decay) * loss
+                # per-item loss record (batch loss attributed to its items)
+                for i in idx:
+                    prev = item_loss[int(i)]
+                    item_loss[int(i)] = loss if not item_seen[int(i)] else \
+                        0.5 * prev + 0.5 * loss
+                    item_seen[int(i)] = True
             self.log_fn(f'epoch {epoch}: loss={loss:.4f} ema={self._ema_loss:.4f} '
                         f'({time.time() - t0:.1f}s)')
             self.history.append({'epoch': epoch, 'loss': loss, 'ema_loss': self._ema_loss})

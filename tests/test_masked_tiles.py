@@ -1,0 +1,51 @@
+"""Tests: mask-gated tiled inference (score bounds + tile skipping)."""
+import jax
+import numpy as np
+import pytest
+
+from celldetection_tpu import models, parallel
+
+
+@pytest.fixture(scope='module')
+def model():
+    m = models.CpnU12(in_channels=1, max_detections=32, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    return m
+
+
+def test_mask_suppresses_outside(model):
+    img = np.random.RandomState(0).rand(128, 128).astype(np.float32)
+    tiled = parallel.TiledInference(model, tile_size=64, stride=48)
+    out_full = tiled(img, score_thresh=0.3)
+    # mask only the top-left quadrant
+    mask = np.zeros((128, 128), np.float32)
+    mask[:64, :64] = 1.
+    out_masked = tiled(img, score_thresh=0.3, mask=mask)
+    assert len(out_masked['boxes']) <= len(out_full['boxes'])
+    if len(out_masked['contours']):
+        # all detections inside masked region (with small tolerance)
+        assert out_masked['contours'][..., 0].max() <= 70
+        assert out_masked['contours'][..., 1].max() <= 70
+
+
+def test_empty_mask_skips_all_tiles(model):
+    img = np.random.RandomState(0).rand(128, 128).astype(np.float32)
+    tiled = parallel.TiledInference(model, tile_size=64, stride=48)
+    out = tiled(img, mask=np.zeros((128, 128), np.float32))
+    assert out['num_tiles'] == 0 and len(out['boxes']) == 0
+
+
+def test_point_mask_forces_detections(model):
+    import jax.numpy as jnp
+    img = np.random.RandomState(0).rand(1, 64, 64, 1).astype(np.float32)
+    # region large enough to survive bilinear downsampling to head resolution
+    pmask = np.zeros((1, 64, 64, 1), np.float32)
+    pmask[0, 24:40, 24:40, 0] = 1.
+    out = model.forward_padded(model.variables, jnp.asarray(img),
+                               score_thresh=jnp.asarray(0.95), nms=False,
+                               scores_lower_bound=jnp.asarray(pmask))
+    # the lower bound of 1.0 > score_thresh forces foreground pixels
+    assert int(out['valid'].sum()) >= 1
+    # (the tiled path additionally drops degenerate boxes of untrained nets —
+    # remove_small_boxes parity — so the end-to-end count is model-dependent)

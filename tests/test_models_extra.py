@@ -114,3 +114,34 @@ def test_metrics_logger(tmp_path):
     import json
     lines = [json.loads(l) for l in open(ml.path)]
     assert len(lines) == 2 and lines[1]['loss'] == 0.5
+
+
+def test_mamba_selective_scan_matches_sequential():
+    from celldetection_tpu.models import selective_scan
+    rng = np.random.RandomState(0)
+    B, L, D, N = 2, 17, 4, 8
+    u = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    delta = jnp.asarray(np.abs(rng.randn(B, L, D)) * 0.1 + 0.01, jnp.float32)
+    A = -jnp.asarray(np.abs(rng.randn(D, N)) + 0.1, jnp.float32)
+    Bm = jnp.asarray(rng.randn(B, L, N), jnp.float32)
+    Cm = jnp.asarray(rng.randn(B, L, N), jnp.float32)
+    Dp = jnp.asarray(rng.randn(D), jnp.float32)
+    y = np.asarray(selective_scan(u, delta, A, Bm, Cm, Dp))
+    x = np.zeros((B, D, N))
+    ys = []
+    for t in range(L):
+        dA = np.exp(np.asarray(delta[:, t])[..., None] * np.asarray(A))
+        dBu = (np.asarray(delta[:, t])[..., None] * np.asarray(Bm[:, t])[:, None, :]
+               * np.asarray(u[:, t])[..., None])
+        x = dA * x + dBu
+        ys.append(np.einsum('bn,bdn->bd', np.asarray(Cm[:, t]), x))
+    y_ref = np.stack(ys, 1) + np.asarray(u) * np.asarray(Dp)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mamba_layer_shapes():
+    from celldetection_tpu.models import MambaLayer
+    ml = MambaLayer()
+    x = jnp.zeros((1, 8, 8, 16))
+    v = ml.init(jax.random.PRNGKey(0), x)
+    assert ml.apply(v, x).shape == (1, 8, 8, 16)
