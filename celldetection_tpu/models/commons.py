@@ -101,7 +101,7 @@ class Norm(nn.Module):
 
 
 class ConvNorm(nn.Module):
-    """Convolution + normalization."""
+    """Convolution + normalization (nd-generic: rank inferred or set via ``nd``)."""
     out_channels: int
     kernel_size: int = 3
     padding: Optional[int] = None
@@ -109,11 +109,13 @@ class ConvNorm(nn.Module):
     norm_layer: Union[str, None] = 'batchnorm2d'
     use_bias: bool = True
     feature_group_count: int = 1
+    nd: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2  # infer spatial rank from input (batch + channel)
         pad = self.kernel_size // 2 if self.padding is None else self.padding
-        x = nn.Conv(self.out_channels, (self.kernel_size,) * 2, strides=(self.stride,) * 2,
+        x = nn.Conv(self.out_channels, (self.kernel_size,) * nd, strides=(self.stride,) * nd,
                     padding=pad, use_bias=self.use_bias,
                     feature_group_count=self.feature_group_count, name='conv')(x)
         return Norm(self.norm_layer, name='norm')(x, train)
@@ -260,15 +262,16 @@ class ReadOut(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
         mid = x.shape[-1] if self.channels_mid is None else self.channels_mid
-        x = nn.Conv(mid, (self.kernel_size,) * 2, strides=(self.stride,) * 2,
+        x = nn.Conv(mid, (self.kernel_size,) * nd, strides=(self.stride,) * nd,
                     padding=self.kernel_size // 2 if self.padding is None else self.padding,
                     name='conv0')(x)
         x = Norm(self.norm, name='norm')(x, train)
         x = get_activation(self.activation)(x)
         if self.dropout:
             x = nn.Dropout(self.dropout, deterministic=not train, name='dropout')(x)
-        x = nn.Conv(self.channels_out, (1, 1), name='conv1')(x)
+        x = nn.Conv(self.channels_out, (1,) * nd, name='conv1')(x)
         if self.final_activation is None:
             return x
         fa = self.final_activation

@@ -445,6 +445,11 @@ class CPN:
         # Backbone/head compute dtype (e.g. jnp.bfloat16 for MXU-rate
         # inference). Params stay fp32; the decode chain always runs fp32.
         self.compute_dtype = compute_dtype
+        # Inputs larger than max_imsize auto-route through tiled inference
+        # (parity: lightning_base.py:782-801, forward_tiled). None disables.
+        self.max_imsize = kwargs.pop('max_imsize', 2048)
+        self.tile_size = kwargs.pop('tile_size', 1024)
+        self.tile_stride = kwargs.pop('tile_stride', 512)
         self.weights = dict(DEFAULT_WEIGHTS)
         self.iou_loss_enabled = True
         self.box_loss_enabled = False
@@ -587,8 +592,20 @@ class CPN:
         return x.astype(jnp.float32)
 
     def __call__(self, inputs, targets=None, nms: bool = True, score_thresh=None, **kwargs):
-        """Reference-style inference: returns dict of per-image result lists."""
+        """Reference-style inference: returns dict of per-image result lists.
+
+        Inputs exceeding ``max_imsize`` are processed through the tiled
+        sliding-window pipeline (results in global coordinates, single-image
+        only — parity with ``forward_tiled``).
+        """
         x = self.prepare_inputs(inputs)
+        if self.max_imsize is not None and max(x.shape[1:3]) > self.max_imsize:
+            from ..parallel.tiles import TiledInference
+            assert x.shape[0] == 1, 'Auto-tiled forward expects a single image.'
+            tiled = TiledInference(self, tile_size=self.tile_size, stride=self.tile_stride)
+            res = tiled(np.asarray(x[0]), score_thresh=score_thresh)
+            return {k: ([v] if not isinstance(v, (int, bool)) else v)
+                    for k, v in res.items()}
         if self.variables is None:
             self.init(input_shape=x.shape)
         st = jnp.asarray(self.score_thresh if score_thresh is None else score_thresh,

@@ -57,7 +57,8 @@ class UNetEncoder(nn.Module):
         for i in range(self.depth):
             out_c = self.base_channels * (self.factor ** i)
             if i > 0 and self.pool:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                nd = x.ndim - 2
+                x = nn.max_pool(x, (2,) * nd, strides=(2,) * nd)
                 stride = 1
             else:
                 stride = int((not self.pool and i > 0) + 1)
@@ -126,10 +127,10 @@ class GeneralizedUNet(nn.Module):
             top_down = last_inner
             # Upsample top-down path to lateral size (or 2x for bridge levels).
             if lateral is not None:
-                t_size = lateral.shape[1:3]
+                t_size = lateral.shape[1:-1]
             else:
-                t_size = (top_down.shape[1] * 2, top_down.shape[2] * 2)
-            if top_down.shape[1:3] != t_size:
+                t_size = tuple(s * 2 for s in top_down.shape[1:-1])
+            if top_down.shape[1:-1] != t_size:
                 if self.interpolate == 'nearest':
                     top_down = resize_nearest(top_down, t_size)
                 else:
@@ -138,7 +139,8 @@ class GeneralizedUNet(nn.Module):
             inner_inc = out_list[i + 1] if i + 1 < depth else in_list[i + 1]
             inner_ouc = out_list[i]
             if inner_inc > 0 and inner_ouc < inner_inc:
-                top_down = nn.Conv(inner_ouc, (1, 1), name=f'inner{i + 1}')(top_down)
+                top_down = nn.Conv(inner_ouc, (1,) * (top_down.ndim - 2),
+                                   name=f'inner{i + 1}')(top_down)
             if has_lat:
                 block_in = jnp.concatenate([lateral, top_down], -1)
                 last_inner = block_cls(out_list[i], name=f'layer{i}', **block_kwargs)(block_in, train)
@@ -152,7 +154,8 @@ class GeneralizedUNet(nn.Module):
         else:
             final = resize_bilinear(last_inner, size)
         if self.out_channels > 0:
-            final = nn.Conv(self.out_channels, (1, 1), name='out_layer')(final)
+            final = nn.Conv(self.out_channels, (1,) * (final.ndim - 2),
+                            name='out_layer')(final)
             if self.final_activation is not None:
                 from .commons import get_activation
                 final = get_activation(self.final_activation)(final)
@@ -220,7 +223,7 @@ class BackboneAsUNet(nn.Module):
             in_strides_list=self.in_strides_list,
             out_channels_list=self.out_channels_list,
             name='unet',
-        )(features, size=inputs.shape[1:3], train=train)
+        )(features, size=inputs.shape[1:-1], train=train)
         return out
 
 

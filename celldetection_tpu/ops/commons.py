@@ -21,36 +21,49 @@ __all__ = [
 ]
 
 
-def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear NHWC resize matching torch ``align_corners=False`` semantics.
+def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
+    """(Bi/tri)linear channels-last resize matching torch ``align_corners=False``.
 
     ``jax.image.resize(method='linear')`` uses half-integer pixel centers,
-    which is exactly torch's ``align_corners=False``.
+    which is exactly torch's ``align_corners=False``. Works for any spatial
+    rank (size length = x.ndim - 2).
     """
-    n, h, w, c = x.shape
-    if (h, w) == tuple(size):
+    size = tuple(size)
+    if x.shape[1:-1] == size:
         return x
-    return jax.image.resize(x, (n, size[0], size[1], c), method='linear')
+    return jax.image.resize(x, (x.shape[0],) + size + (x.shape[-1],), method='linear')
 
 
-def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
     """Nearest NHWC resize (torch 'nearest' flavor: floor of scaled index).
 
     Integer upsampling factors lower to a broadcast+reshape (TPU-fast path);
     everything else falls back to a gather. Matches torch semantics
     (``src = floor(dst * in/out)``) in both paths.
     """
-    n, h, w, c = x.shape
-    th, tw = size
-    if (h, w) == (th, tw):
+    size = tuple(size)
+    spatial = x.shape[1:-1]
+    if spatial == size:
         return x
-    if th % h == 0 and tw % w == 0:
-        fy, fx = th // h, tw // w
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, fy, w, fx, c))
-        return x.reshape(n, th, tw, c)
-    ys = (jnp.arange(th) * (h / th)).astype(jnp.int32)
-    xs = (jnp.arange(tw) * (w / tw)).astype(jnp.int32)
-    return x[:, ys][:, :, xs]
+    n, c = x.shape[0], x.shape[-1]
+    if len(size) == 2:
+        h, w = spatial
+        th, tw = size
+        if th % h == 0 and tw % w == 0:
+            fy, fx = th // h, tw // w
+            x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, fy, w, fx, c))
+            return x.reshape(n, th, tw, c)
+        ys = (jnp.arange(th) * (h / th)).astype(jnp.int32)
+        xs = (jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+        return x[:, ys][:, :, xs]
+    # general rank: torch-style floor indexing per axis
+    out = x
+    for axis, (src, dst) in enumerate(zip(spatial, size), start=1):
+        if src == dst:
+            continue
+        idx = (jnp.arange(dst) * (src / dst)).astype(jnp.int32)
+        out = jnp.take(out, idx, axis=axis)
+    return out
 
 
 def equal_size(x: jnp.ndarray, reference: jnp.ndarray, mode: str = 'bilinear') -> jnp.ndarray:

@@ -9,5 +9,6 @@ from .logging import MetricsLogger, log_figure
 from .surgery import *
 from .system import *
 from .shm_cache import ShmCache
+from .rois import save_rois, contour2roi_bytes
 from . import (config, tiling, timer, io, serialization, torch_import, logging,
-               surgery, system, shm_cache)
+               surgery, system, shm_cache, rois)

@@ -9,8 +9,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ['to_h5', 'from_h5', 'to_json', 'from_json', 'to_yaml', 'from_yaml', 'load_image',
-           'to_tiff']
+__all__ = ['to_h5', 'from_h5', 'to_batched_h5', 'to_json', 'from_json', 'to_yaml',
+           'from_yaml', 'load_image', 'to_tiff', 'img_to_base64', 'base64_to_img']
 
 
 def to_h5(filename, mode: str = 'w', compression=None, attributes: Optional[dict] = None,
@@ -37,6 +37,38 @@ def from_h5(filename, *keys):
             keys = list(h.keys())
         out = tuple(np.asarray(h[k]) for k in keys)
     return out[0] if len(out) == 1 else out
+
+
+def to_batched_h5(filename, mode: str = 'a', **ragged):
+    """Append ragged per-item arrays as numbered h5 groups.
+
+    Parity: ``celldetection/util/util.py:1402`` (batched h5). Each call
+    appends one batch item per key under ``<key>/<index>``.
+    """
+    import h5py
+    with h5py.File(filename, mode) as h:
+        for key, items in ragged.items():
+            grp = h.require_group(key)
+            start = len(grp)
+            for i, item in enumerate(items):
+                grp.create_dataset(str(start + i), data=np.asarray(item))
+
+
+def img_to_base64(image: np.ndarray, fmt: str = 'png') -> str:
+    """Encode an image array to a base64 string (parity: util :1789-1833)."""
+    import base64
+    import io as _io
+    from imageio.v2 import imwrite
+    buf = _io.BytesIO()
+    imwrite(buf, image, format=fmt)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def base64_to_img(data: str) -> np.ndarray:
+    import base64
+    import io as _io
+    from imageio.v2 import imread
+    return np.asarray(imread(_io.BytesIO(base64.b64decode(data))))
 
 
 def to_json(filename, obj):

@@ -1,0 +1,48 @@
+"""ImageJ ROI export for contours.
+
+Behavioral reference: ``celldetection/util/util.py:1949-1998`` (ImageJ ROI
+writing). Implements the ImageJ ``.roi`` polygon binary format and ``.zip``
+collections — readable by ImageJ/Fiji's ROI manager.
+"""
+import struct
+import zipfile
+from typing import Sequence
+
+import numpy as np
+
+__all__ = ['contour2roi_bytes', 'save_rois']
+
+_HEADER_SIZE = 64
+_POLYGON = 0
+
+
+def contour2roi_bytes(contour: np.ndarray, name: str = 'roi') -> bytes:
+    """One (num_points, 2) xy contour → ImageJ .roi polygon bytes."""
+    contour = np.asarray(contour)
+    xs = np.round(contour[:, 0]).astype(np.int16)
+    ys = np.round(contour[:, 1]).astype(np.int16)
+    left, top = int(xs.min()), int(ys.min())
+    right, bottom = int(xs.max()), int(ys.max())
+    n = len(contour)
+    header = bytearray(_HEADER_SIZE)
+    header[0:4] = b'Iout'                       # magic
+    struct.pack_into('>h', header, 4, 227)      # version
+    header[6] = _POLYGON                        # roi type
+    struct.pack_into('>hhhh', header, 8, top, left, bottom, right)
+    struct.pack_into('>H', header, 16, n)
+    body = b''.join(struct.pack('>h', int(x - left)) for x in xs) + \
+           b''.join(struct.pack('>h', int(y - top)) for y in ys)
+    return bytes(header) + body
+
+
+def save_rois(filename: str, contours: Sequence[np.ndarray]):
+    """Write contours as an ImageJ ROI set (``.zip``) or single ``.roi``."""
+    if filename.endswith('.roi'):
+        assert len(contours) == 1
+        with open(filename, 'wb') as f:
+            f.write(contour2roi_bytes(contours[0]))
+        return filename
+    with zipfile.ZipFile(filename, 'w', zipfile.ZIP_DEFLATED) as z:
+        for i, con in enumerate(contours):
+            z.writestr(f'{i + 1:04d}.roi', contour2roi_bytes(con))
+    return filename

@@ -113,7 +113,7 @@ def test_short_training_run_decreases_loss():
 
     rng = jax.random.PRNGKey(0)
     losses = []
-    for i in range(20):
+    for i in range(14):
         rng, sub = jax.random.split(rng)
         params, state, opt_state, loss = step(params, state, opt_state, sub)
         losses.append(float(loss))

@@ -11,8 +11,7 @@ X32 = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
 
 
 @pytest.mark.parametrize('name', [
-    'CpnConvNeXtTinyUNet', 'CpnDenseNet121UNet', 'CpnMobileNetV3SmallFPN',
-    'CpnResNet18MaNet',
+    'CpnConvNeXtTinyUNet', 'CpnMobileNetV3SmallFPN',
 ])
 def test_backbone_cpn_variants(name):
     m = models.get_cpn(name)(in_channels=3, max_detections=16, samples=8)
@@ -20,6 +19,17 @@ def test_backbone_cpn_variants(name):
     out = m(X32, score_thresh=0.3)
     assert len(out['contours']) == 1
     assert out['contours'][0].shape[1:] == (8, 2)
+
+
+def test_manet_decoder_shapes():
+    from celldetection_tpu.models import MaNet, ResNet18
+    enc = ResNet18(3)
+    m = MaNet(body=enc)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    out = m.apply(v, x, False)
+    assert out['out'].shape[1:3] == (64, 64)
+    assert 'encoder.0' in out
 
 
 def test_encoder_feature_shapes():
@@ -145,3 +155,11 @@ def test_mamba_layer_shapes():
     x = jnp.zeros((1, 8, 8, 16))
     v = ml.init(jax.random.PRNGKey(0), x)
     assert ml.apply(v, x).shape == (1, 8, 8, 16)
+
+
+def test_unet_3d_forward():
+    from celldetection_tpu.models import U22
+    u = U22(in_channels=1, out_channels=2)
+    x3 = jnp.zeros((1, 16, 16, 16, 1))
+    v = u.init(jax.random.PRNGKey(0), x3, False)
+    assert u.apply(v, x3, False).shape == (1, 16, 16, 16, 2)

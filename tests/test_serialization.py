@@ -34,8 +34,7 @@ def test_save_fetchable_hash(tmp_path):
 
 @pytest.mark.parametrize('model_name,encoder,fused', [
     ('CpnU22', 'unet', True),
-    ('CpnResNet18UNet', 'resnet', True),
-    ('CpnResNet50UNet', 'resnet', True),
+    ('CpnResNet50UNet', 'resnet', True),  # bottleneck + grouped-conv layout
 ])
 def test_torch_state_dict_roundtrip(model_name, encoder, fused):
     """export (flax -> torch layout) then import restores the exact tree."""

@@ -91,3 +91,35 @@ def test_tpu_stats():
     stats = util.TpuStats()
     d = stats.dict()
     assert isinstance(d, dict)
+
+
+def test_imagej_rois_roundtrip(tmp_path):
+    import zipfile
+    cons = [np.array([[5, 5], [20, 5], [20, 15], [5, 15]], float),
+            np.array([[30, 30], [40, 30], [35, 45]], float)]
+    fn = util.save_rois(str(tmp_path / 'rois.zip'), cons)
+    with zipfile.ZipFile(fn) as z:
+        names = z.namelist()
+        assert len(names) == 2
+        data = z.read(names[0])
+    assert data[:4] == b'Iout'
+    import struct
+    top, left, bottom, right = struct.unpack_from('>hhhh', data, 8)
+    assert (left, top, right, bottom) == (5, 5, 20, 15)
+    (n,) = struct.unpack_from('>H', data, 16)
+    assert n == 4
+
+
+def test_batched_h5_and_base64(tmp_path):
+    from celldetection_tpu.util import io as uio
+    fn = str(tmp_path / 'b.h5')
+    uio.to_batched_h5(fn, contours=[np.zeros((5, 2)), np.zeros((7, 2))])
+    uio.to_batched_h5(fn, contours=[np.zeros((3, 2))])
+    import h5py
+    with h5py.File(fn) as h:
+        assert len(h['contours']) == 3
+        assert h['contours/2'].shape == (3, 2)
+    img = (np.random.RandomState(0).rand(8, 8, 3) * 255).astype(np.uint8)
+    s = uio.img_to_base64(img)
+    back = uio.base64_to_img(s)
+    np.testing.assert_array_equal(img, back)
