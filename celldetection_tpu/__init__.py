@@ -21,6 +21,8 @@ from . import optim
 from . import callbacks
 from . import runtime
 from . import visualization
+from . import native
+from . import kernels
 from .util.config import Config, Schedule, conf2call, conf2optimizer, conf2scheduler
 from .util.tiling import Tiling, get_tiling_slices
 from .data.cpn import CPNTargetGenerator

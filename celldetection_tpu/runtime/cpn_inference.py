@@ -179,11 +179,14 @@ def cpn_inference(
                       tile_size=tile_size, stride=stride, border_removal=border_removal,
                       stitching_rule=stitching_rule, precision=precision))})
             if labels or flat_labels or properties:
-                lbl = contours2labels(list(res['contours']), (h, w))
                 if labels:
+                    lbl = contours2labels(list(res['contours']), (h, w))
                     to_h5(out_fn, mode='a', labels=lbl)
                 if flat_labels or properties:
-                    flat = resolve_label_channels(lbl)
+                    # fast path: native scanline rasterizer (~100x cv2 loop);
+                    # falls back to channelled render + dilation flattening
+                    from ..native import contours2labels_native
+                    flat = contours2labels_native(list(res['contours']), (h, w))
                     if flat_labels:
                         to_h5(out_fn, mode='a', flat_labels=flat)
                     if properties:

@@ -28,3 +28,23 @@ def test_nms_pallas_interpret_matches_xla(n):
     got = np.asarray(nms_pallas(jnp.asarray(boxes), jnp.asarray(scores),
                                 jnp.asarray(valid), iou_threshold=0.3, interpret=True))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_native_rasterizer_matches_reference_fill():
+    from celldetection_tpu import native
+    if not native.available():
+        pytest.skip('no native toolchain')
+    theta = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    cons = [np.stack([30 + 12 * np.cos(theta), 40 + 9 * np.sin(theta)], -1),
+            np.stack([70 + 10 * np.cos(theta), 70 + 10 * np.sin(theta)], -1)]
+    lbl = native.contours2labels_native(cons, (100, 100))
+    assert set(np.unique(lbl)) == {0, 1, 2}
+    from celldetection_tpu import data
+    lbl_cv = data.resolve_label_channels(data.contours2labels(cons, (100, 100)))
+    # non-overlapping contours -> near-identical fills (boundary-pixel
+    # conventions differ: cv2 paints the polygon outline, scanline fills the
+    # interior — a ~1px ring of divergence is expected)
+    inter = ((lbl > 0) & (lbl_cv > 0)).sum()
+    union = ((lbl > 0) | (lbl_cv > 0)).sum()
+    assert inter / union > 0.9
+    assert (lbl[lbl == 1] == 1).all() and (lbl_cv[lbl == 1] == 1).mean() > 0.9
