@@ -6,4 +6,6 @@ from .toydata import *
 from .transforms import *
 from ._regionprops import regionprops
 from .targets import *
-from . import cpn, misc, segmentation, instance_eval, toydata, transforms, targets, datasets
+from .augmentation import conf2augmentation
+from . import (cpn, misc, segmentation, instance_eval, toydata, transforms, targets,
+               augmentation, datasets)

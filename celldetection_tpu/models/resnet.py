@@ -129,6 +129,12 @@ class ResNetEncoder(nn.Module):
     initial_strides: int = 2
     initial_pooling: bool = True
     norm_layer: str = 'batchnorm2d'
+    # Optional per-stage token mixer (e.g. MambaLayer) — parity with the
+    # reference's `secondary_block` (resnet.py:196); and PSP-style pyramid
+    # pooling appended to the deepest stage (resnet.py:295-297).
+    secondary_block: Any = None
+    pyramid_pooling: bool = False
+    pyramid_pooling_channels: int = 64
 
     @property
     def out_channels(self):
@@ -136,7 +142,10 @@ class ResNetEncoder(nn.Module):
         oc = tuple(self.base_channel * (2 ** i) * e for i in range(4))
         if not self.fused_initial:
             oc = (self.base_channel,) + oc
-        return list(oc)
+        oc = list(oc)
+        if self.pyramid_pooling:
+            oc[-1] = oc[-1] + 4 * self.pyramid_pooling_channels
+        return oc
 
     @property
     def out_strides(self):
@@ -164,8 +173,14 @@ class ResNetEncoder(nn.Module):
                           stride=1 if i == 0 else 2, groups=self.groups,
                           base_width=self.base_width, norm_layer=self.norm_layer,
                           name=f'layer{i + 1}')(x, train)
+            if self.secondary_block is not None:
+                x = self.secondary_block(name=f'secondary{i + 1}')(x, train)
             features[str(idx)] = x
             idx += 1
+        if self.pyramid_pooling:
+            from .ppm import Ppm
+            x = Ppm(out_channels=self.pyramid_pooling_channels, name='ppm')(x, train)
+            features[str(idx - 1)] = x
         return features
 
 

@@ -10,5 +10,6 @@ from .surgery import *
 from .system import *
 from .shm_cache import ShmCache
 from .rois import save_rois, contour2roi_bytes
+from .misc import *
 from . import (config, tiling, timer, io, serialization, torch_import, logging,
-               surgery, system, shm_cache, rois)
+               surgery, system, shm_cache, rois, misc)

@@ -163,3 +163,40 @@ def test_unet_3d_forward():
     x3 = jnp.zeros((1, 16, 16, 16, 1))
     v = u.init(jax.random.PRNGKey(0), x3, False)
     assert u.apply(v, x3, False).shape == (1, 16, 16, 16, 2)
+
+
+def test_augmentation_pipeline():
+    from celldetection_tpu.data import conf2augmentation
+    rng = np.random.RandomState(0)
+    aug = conf2augmentation({
+        'RandomRotate90': {'p': 1.0}, 'HorizontalFlip': {'p': 1.0},
+        'RandomBrightnessContrast': {'p': 1.0}, 'ElasticTransform': {'p': 1.0},
+    })
+    img = rng.rand(32, 32, 1).astype(np.float32)
+    lbl = np.zeros((32, 32, 1), np.int32)
+    lbl[10:20, 10:20] = 1
+    out_img, out_lbl = aug(img, lbl, rng)
+    assert out_img.shape == (32, 32, 1) and out_lbl.shape == (32, 32, 1)
+    assert set(np.unique(out_lbl)) <= {0, 1}
+    assert (out_lbl == 1).sum() > 0
+
+
+def test_resnet_secondary_block_and_ppm():
+    from functools import partial
+    from celldetection_tpu.models import ResNetEncoder, MambaLayer
+    enc = ResNetEncoder(in_channels=1, layers=(1, 1, 1, 1), base_channel=8,
+                        secondary_block=MambaLayer, pyramid_pooling=True,
+                        pyramid_pooling_channels=4)
+    x = jnp.zeros((1, 32, 32, 1))
+    v = enc.init(jax.random.PRNGKey(0), x, False)
+    f = enc.apply(v, x, False)
+    assert f['3'].shape[-1] == enc.out_channels[-1]
+    assert 'secondary1' in str(jax.tree_util.tree_structure(v))
+
+
+def test_util_misc():
+    from celldetection_tpu import util
+    name = util.random_code_name(6)
+    assert len(name) == 6 and name.isalpha()
+    assert util.parse_url_params('http://x.com/a?b=1&c=2') == {'b': '1', 'c': '2'}
+    assert util.say_goodbye().endswith('!')
