@@ -11,11 +11,16 @@ measured time covers the full compute + result-transfer pipeline a production
 tile loop pays.
 
 ``vs_baseline`` compares against an A100 estimate for the same model/workload
-(the reference publishes no numbers — see BASELINE.md). Derivation of the
-constants: the backbone dominates; CpnU22 @1024^2 is ~3.2 TFLOP/forward
-(XLA cost analysis). A100 with cuDNN TF32 convs (torch default) sustains
-~60-80 TFLOP/s on large convs => ~20 tiles/s; CpnResNeXt101UNet ~2.5x the
-FLOPs => ~8 tiles/s. Estimates intentionally favor the baseline.
+(the reference publishes no numbers — see BASELINE.md). Derivation: XLA cost
+analysis gives 3.23 TFLOP/tile for CpnU22; CpnResNeXt101UNet adds the
+ResNeXt101 encoder (~0.4 TF), the 256-channel bridged UNet decoder (~3.1 TF)
+and the full-res 7x7 refinement head on 256 channels (~6.6 TF) => ~13
+TFLOP/tile. A100 with cuDNN TF32 convs (torch's default for convs) sustains
+~65 TFLOP/s on these conv shapes (~40% of 156 TF/s TF32 peak, which is
+generous for a mix that includes grouped convs — cuDNN grouped-conv
+efficiency is notoriously low): CpnU22 -> ~20 tiles/s,
+CpnResNeXt101UNet -> ~5 tiles/s. For context, the measured sustained matmul
+ceiling of this TPU v5e chip through its PJRT relay is ~100 TFLOP/s.
 """
 import json
 import os
@@ -25,7 +30,7 @@ import numpy as np
 
 A100_TILES_PER_S = {
     'CpnU22': 20.0,
-    'CpnResNeXt101UNet': 8.0,
+    'CpnResNeXt101UNet': 5.0,
 }
 
 

@@ -25,7 +25,7 @@ import optax
 
 from .. import optim as optim_lib
 from ..data import (LabelMatcher, LabelMatcherList, collate_cpn_targets, cpn_targets_single,
-                    contours2labels, resolve_label_channels)
+                    contours2labels)
 from ..parallel import TiledInference, TrainState, make_train_step
 from ..util.config import conf2optimizer
 
@@ -145,7 +145,8 @@ class CPNTrainer:
     # --- validation sweep + calibration ------------------------------------
 
     def validate(self, val_data, iou_threshs: Sequence[float] = (.5, .6, .7, .8, .9),
-                 calibrate: bool = True, reduce_fn=None) -> Dict[str, float]:
+                 calibrate: bool = True, reduce_fn=None,
+                 fast_labels: bool = True) -> Dict[str, float]:
         """Hyperparameter-sweep validation with self-calibration.
 
         For every combination of ``val_hparams`` values, runs inference on all
@@ -166,8 +167,14 @@ class CPNTrainer:
                     image = image[..., None]
                 pred = self._predict_single(np.asarray(image, np.float32), **setting)
                 h, w = image.shape[:2]
-                pred_labels = resolve_label_channels(
-                    contours2labels(list(pred['contours']), (h, w)))
+                if fast_labels:
+                    # native scanline fill (last-wins overlaps)
+                    from ..native import contours2labels_native
+                    pred_labels = contours2labels_native(list(pred['contours']), (h, w))
+                else:
+                    # reference-exact: channelled render, overlaps preserved
+                    # for the matcher (lightning_cpn.py:65-78)
+                    pred_labels = contours2labels(list(pred['contours']), (h, w))
                 target_labels = labels.max(-1) if labels.ndim == 3 else labels
                 matchers.append(LabelMatcher(pred_labels, target_labels))
             metrics = {}
