@@ -5,7 +5,7 @@ Behavioral reference: ``celldetection/optim/lr_scheduler.py`` — ``WarmUp``
 ``ReduceLROnPlateau`` with warmup grace (:99); plus the world-size LR scaling
 of ``celldetection/models/lightning_base.py:31,397-440``.
 """
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 import optax

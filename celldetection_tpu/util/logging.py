@@ -8,7 +8,6 @@ dashboard can tail.
 import json
 import os
 import time
-from typing import Optional
 
 __all__ = ['MetricsLogger', 'log_figure']
 

@@ -6,7 +6,7 @@ Behavioral reference: ``celldetection/util/util.py`` — ``tweak_module_``
 JAX equivalents are pure pytree transforms + optax masking.
 """
 import re
-from typing import Callable, Dict, Union
+from typing import Callable, Dict
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ Behavioral reference: ``celldetection/util/util.py`` — ``random_seed`` (:696),
 import os
 import pickle
 import random
-from typing import Optional
-
 import numpy as np
 
 __all__ = ['random_seed', 'Bytes', 'Percent', 'TpuStats', 'GpuStats', 'OomCatcher',

@@ -6,7 +6,7 @@ Behavioral reference: ``celldetection/util/util.py`` — ``Tiling`` (:1269),
 the bookkeeping the border-removal / stitching filters consume.
 """
 from itertools import product
-from typing import Sequence, Tuple, Union
+from typing import Sequence, Union
 
 import numpy as np
 
