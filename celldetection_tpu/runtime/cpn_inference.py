@@ -73,6 +73,32 @@ def resolve_model(model: Union[str, object], model_parameters: Optional[str] = N
     return model
 
 
+def _ensemble(tiled_list, img, mask, pmask, min_vote: int, nms_thresh: float) -> dict:
+    """Multi-model ensemble: concat per-model detections, box voting, final NMS."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.boxes import filter_by_box_voting, nms_padded
+
+    results = [t(img, mask=mask, point_mask=pmask) for t in tiled_list]
+    keys = ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier')
+    cat = {k: np.concatenate([r[k] for r in results]) for k in keys
+           if results[0].get(k) is not None}
+    n = len(cat['boxes'])
+    if n == 0:
+        out = dict(results[0])
+        return out
+    boxes = jnp.asarray(cat['boxes'])
+    scores = jnp.asarray(cat['scores'])
+    valid = jnp.ones((n,), bool)
+    if min_vote > 1:
+        valid = filter_by_box_voting(boxes, nms_thresh, min_vote, valid)
+    keep = nms_padded(boxes, scores, valid, nms_thresh)
+    keep = np.asarray(keep)
+    out = {k: v[keep] for k, v in cat.items()}
+    out['num_tiles'] = sum(r.get('num_tiles', 0) for r in results)
+    return out
+
+
 def _load_inputs(inputs: Union[str, Sequence[str]]) -> List[str]:
     if isinstance(inputs, str):
         inputs = [inputs]
@@ -126,24 +152,31 @@ def cpn_inference(
 
     os.makedirs(outputs, exist_ok=True)
 
-    # Resolve model (+ optional precision/overrides)
-    model = resolve_model(model, model_parameters)
-    if precision in ('bf16', 'bfloat16', '16'):
-        model.compute_dtype = jnp.bfloat16
-        model._jit_cache.clear()
-    if score_thresh is not None:
-        model.score_thresh = score_thresh
-    if nms_thresh is not None:
-        model.nms_thresh = nms_thresh
-        model._jit_cache.clear()
+    # Resolve model(s) (+ optional precision/overrides). Multiple models form
+    # an ensemble: per-model tiled inference, box voting >= min_vote, final
+    # NMS (parity: cpn_inference.py:419-427).
+    model_list = model if isinstance(model, (list, tuple)) else [model]
+    model_list = [resolve_model(m, model_parameters) for m in model_list]
+    for m in model_list:
+        if precision in ('bf16', 'bfloat16', '16'):
+            m.compute_dtype = jnp.bfloat16
+            m._jit_cache.clear()
+        if score_thresh is not None:
+            m.score_thresh = score_thresh
+        if nms_thresh is not None:
+            m.nms_thresh = nms_thresh
+            m._jit_cache.clear()
+    model = model_list[0]
 
     try:
         mesh = make_mesh()
     except Exception:
         mesh = None
-    tiled = TiledInference(model, tile_size=tile_size, stride=stride,
-                           batch_size=batch_size, border_removal=border_removal,
-                           stitching_rule=stitching_rule, mesh=mesh)
+    tiled_list = [TiledInference(m, tile_size=tile_size, stride=stride,
+                                 batch_size=batch_size, border_removal=border_removal,
+                                 stitching_rule=stitching_rule, mesh=mesh)
+                  for m in model_list]
+    tiled = tiled_list[0]
 
     # Input resolution + process-level sharding (replaces MPI group_level).
     if isinstance(inputs, np.ndarray):
@@ -169,7 +202,11 @@ def cpn_inference(
                              brightness=brightness, to_rgb=to_rgb)
             mask = load_image(mask_list[src_idx]) if mask_list else None
             pmask = load_image(point_list[src_idx]) if point_list else None
-            res = tiled(img, mask=mask, point_mask=pmask)
+            if len(tiled_list) == 1:
+                res = tiled(img, mask=mask, point_mask=pmask)
+            else:
+                res = _ensemble(tiled_list, img, mask, pmask, min_vote,
+                                model.nms_thresh)
             h, w = img.shape[:2]
             out_fn = os.path.join(outputs, f'{name}.h5')
             to_h5(out_fn,
@@ -212,7 +249,8 @@ def main():
                                 description='Tiled CPN inference on TPU (celldetection_tpu)')
     p.add_argument('-i', '--inputs', nargs='+', required=True,
                    help='Input files or glob patterns')
-    p.add_argument('-m', '--model', required=True, help='Model name or checkpoint path')
+    p.add_argument('-m', '--model', nargs='+', required=True,
+                   help='Model name(s)/checkpoint path(s); multiple -> ensemble with box voting')
     p.add_argument('-o', '--outputs', default='outputs', help='Output directory')
     p.add_argument('--masks', nargs='*', default=None,
                    help='Optional fg masks (paired with inputs); suppress detections outside')

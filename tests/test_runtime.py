@@ -113,3 +113,21 @@ def test_callbacks():
     ka.stop()
     sd = StepDropout([(0, 0.1), (100, 0.0)])
     assert sd(50) == 0.1 and sd(100) == 0.0
+
+
+def test_cpn_inference_ensemble(trained, tmp_path):
+    """Two-model ensemble: voting + final NMS path."""
+    trainer, train_data = trained
+    img, _ = train_data[0]
+    results = cpn_inference(
+        inputs=[img[..., None].astype(np.float32)],
+        model=[trainer.model, trainer.model],  # same model twice: every box gets 2 votes
+        outputs=str(tmp_path / 'ens'), tile_size=96, stride=64, min_vote=2,
+    )
+    assert len(results) == 1
+    single = cpn_inference(
+        inputs=[img[..., None].astype(np.float32)], model=trainer.model,
+        outputs=str(tmp_path / 'single'), tile_size=96, stride=64,
+    )
+    # identical duplicated models agree -> ensemble ~= single after NMS
+    assert abs(len(results[0]['boxes']) - len(single[0]['boxes'])) <= 1
