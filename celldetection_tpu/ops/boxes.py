@@ -108,6 +108,8 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         invalid entries).
     """
     n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool)
     n_pad = (-n) % tile
     order = jnp.argsort(jnp.where(valid, scores, -jnp.inf), descending=True)
     if n_pad:

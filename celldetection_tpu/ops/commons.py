@@ -17,7 +17,7 @@ import jax.numpy as jnp
 __all__ = [
     'equal_size', 'downsample_labels', 'process_scores', 'padded_stack2d', 'split_spatially',
     'minibatch_std_layer', 'strided_upsampling2d', 'interpolate_vector', 'pad_to_size', 'pad_to_div',
-    'spatial_mean', 'resize_bilinear', 'resize_nearest',
+    'spatial_mean', 'resize_bilinear', 'resize_nearest', 'values2bins',
 ]
 
 
@@ -141,6 +141,16 @@ def process_scores(scores: jnp.ndarray, score_channels: int, score_thresh,
     else:
         raise ValueError(f'Invalid score_channels: {score_channels}')
     return scores, classes
+
+
+def values2bins(values: jnp.ndarray, limits, bins: int) -> jnp.ndarray:
+    """Quantize values in ``limits`` into ``bins`` integer bins.
+
+    Parity: ``celldetection/models/cpn.py:30-34``.
+    """
+    mi, ma = limits
+    v = (values - mi) / (ma - mi)
+    return ((v // (1.0 / bins)) % bins).astype(jnp.int32)
 
 
 def padded_stack2d(*images, dim: int = 0) -> jnp.ndarray:

@@ -30,7 +30,7 @@ from ..ops.boxes import nms_padded
 from ..ops.cpn import remove_border_contours, filter_contours_by_stitching_rule
 from ..util.tiling import get_tiling_slices
 
-__all__ = ['TiledInference', 'tile_image', 'stitch_detections']
+__all__ = ['TiledInference', 'tile_image', 'stitch_detections', 'tta_inference']
 
 
 def tile_image(image: np.ndarray, tile_size: int, stride: int):
@@ -118,6 +118,55 @@ def compact_detections(flat: dict, max_outputs: int) -> dict:
         v = flat.get(key)
         out[key] = None if v is None else v[order]
     out['num_valid'] = flat['valid'].sum()
+    return out
+
+
+def tta_inference(tiled: 'TiledInference', image: np.ndarray, reps: int = 4,
+                  **kwargs) -> dict:
+    """Test-time augmentation over flips (the reference TileLoader's ``reps``,
+    ``cpn_inference.py:112-118``): run tiled inference on flipped variants,
+    invert detection coordinates, merge with one final NMS.
+
+    Args:
+        reps: 1 = identity, 2 = + horizontal flip, 4 = + vertical and both.
+    """
+    h, w = image.shape[:2]
+    variants = [(False, False), (True, False), (False, True), (True, True)][:reps]
+    merged = {k: [] for k in ('contours', 'boxes', 'scores', 'classes', 'locations',
+                              'fourier')}
+    total_tiles = 0
+    for fx, fy in variants:
+        img = image
+        if fx:
+            img = img[:, ::-1]
+        if fy:
+            img = img[::-1]
+        res = tiled(np.ascontiguousarray(img), **kwargs)
+        total_tiles += res.get('num_tiles', 0)
+        cons, boxes, locs = res['contours'].copy(), res['boxes'].copy(), res['locations'].copy()
+        if fx:
+            cons[..., 0] = (w - 1) - cons[..., 0]
+            locs[..., 0] = (w - 1) - locs[..., 0]
+            boxes = np.stack([(w - 1) - boxes[:, 2], boxes[:, 1],
+                              (w - 1) - boxes[:, 0], boxes[:, 3]], -1)
+        if fy:
+            cons[..., 1] = (h - 1) - cons[..., 1]
+            locs[..., 1] = (h - 1) - locs[..., 1]
+            boxes = np.stack([boxes[:, 0], (h - 1) - boxes[:, 3],
+                              boxes[:, 2], (h - 1) - boxes[:, 1]], -1)
+        merged['contours'].append(cons)
+        merged['boxes'].append(boxes)
+        merged['locations'].append(locs)
+        merged['scores'].append(res['scores'])
+        merged['classes'].append(res['classes'])
+        merged['fourier'].append(res['fourier'])
+    cat = {k: np.concatenate(v) for k, v in merged.items()}
+    boxes = jnp.asarray(cat['boxes'])
+    keep = np.asarray(nms_padded(boxes, jnp.asarray(cat['scores']),
+                                 jnp.ones((len(cat['boxes']),), bool),
+                                 tiled.model.nms_thresh))
+    out = {k: v[keep] for k, v in cat.items()}
+    out['num_tiles'] = total_tiles
     return out
 
 

@@ -50,7 +50,8 @@ class CPNTrainer:
                  val_hparams: Optional[Dict[str, Sequence]] = None, mesh=None,
                  checkpoint_dir: Optional[str] = None, max_imsize: int = 2048,
                  tile_size: int = 1024, tile_stride: int = 512,
-                 ema_decay: float = 0.99, log_fn: Callable = print, seed: int = 0):
+                 ema_decay: float = 0.99, log_fn: Callable = print, seed: int = 0,
+                 metrics_logger=None, log_figures_every: int = 0):
         self.model = model
         if optimizer is None:
             optimizer = optax.adam(1e-3)
@@ -68,6 +69,10 @@ class CPNTrainer:
         self.tile_stride = tile_stride
         self.ema_decay = ema_decay
         self.log_fn = log_fn
+        # metrics + periodic contour-figure logging (parity:
+        # lightning_base.py:184-198, 277-286)
+        self.metrics_logger = metrics_logger
+        self.log_figures_every = log_figures_every
         self.rng = jax.random.PRNGKey(seed)
         self.state = TrainState.create(model, self.tx)
         self._step_fn = make_train_step(model, self.tx, mesh=mesh)
@@ -132,6 +137,13 @@ class CPNTrainer:
                     item_loss[int(i)] = loss if not item_seen[int(i)] else \
                         0.5 * prev + 0.5 * loss
                     item_seen[int(i)] = True
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(self.state.step, loss=loss,
+                                            ema_loss=self._ema_loss,
+                                            **{k: float(v) for k, v in metrics.items()
+                                               if k != 'loss'})
+                if self.log_figures_every and self.state.step % self.log_figures_every == 0:
+                    self._log_contour_figure(batch['image'][:1])
             self.log_fn(f'epoch {epoch}: loss={loss:.4f} ema={self._ema_loss:.4f} '
                         f'({time.time() - t0:.1f}s)')
             self.history.append({'epoch': epoch, 'loss': loss, 'ema_loss': self._ema_loss})
@@ -216,6 +228,21 @@ class CPNTrainer:
         if isinstance(images, np.ndarray) and images.ndim <= 3:
             images = [images]
         return [self._predict_single(np.asarray(im, np.float32)) for im in images]
+
+    def _log_contour_figure(self, image: np.ndarray):
+        """Render current predictions on a training image (host-side, saved
+        through the metrics logger directory)."""
+        try:
+            from ..visualization.images import show_detection, save_fig
+            self.model.variables = self.state.variables()
+            out = self.model(image)
+            ax = show_detection(image=np.asarray(image[0, ..., 0]),
+                                contours=list(out['contours'][0]))
+            log_dir = os.path.dirname(getattr(self.metrics_logger, 'path', 'logs/x')) or 'logs'
+            os.makedirs(log_dir, exist_ok=True)
+            save_fig(os.path.join(log_dir, f'contours_step{self.state.step}.png'), ax.figure)
+        except Exception as e:  # figure logging must never kill training
+            self.log_fn(f'figure logging failed: {type(e).__name__}: {e}')
 
     # --- checkpointing ------------------------------------------------------
 

