@@ -631,8 +631,9 @@ class CPN:
             result['loss'] = np.asarray(out['loss'])
             result['losses'] = {k: (None if v is None else np.asarray(v))
                                 for k, v in out['losses'].items()}
-        result['fg_overflow'] = [bool(v) for v in np.asarray(out['valid']).all(-1)
-                                 & (np.asarray(out['fg_count']) > out['valid'].shape[1])]
+        # capacity saturation: more fg pixels existed than max_detections slots
+        k = out['valid'].shape[1]
+        result['fg_overflow'] = [bool(c > k) for c in np.asarray(out['fg_count'])]
         return result
 
 
