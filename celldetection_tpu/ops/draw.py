@@ -42,13 +42,15 @@ def draw_contours(canvas: jnp.ndarray, contours: jnp.ndarray, val=None,
     xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, h - 1)
     vals = jnp.broadcast_to(val[:, None, None], xi.shape)
-    if valid is not None:
-        # route invalid contours to a scratch pixel outside the canvas... there is
-        # none, so overwrite value with existing canvas content via mask on values
-        keep = jnp.broadcast_to(valid[:, None, None], xi.shape)
-        xi = jnp.where(keep, xi, 0)
-        yi = jnp.where(keep, yi, 0)
-        vals = jnp.where(keep, vals, canvas[0, 0])
     flat_idx = (yi * w + xi).reshape(-1)
+    if valid is not None:
+        # Route invalid contours' writes to a scratch slot appended past the
+        # canvas (scatter order between duplicate indices is undefined, so
+        # "rewrite the old value" masking could clobber valid writes).
+        keep = jnp.broadcast_to(valid[:, None, None], xi.shape).reshape(-1)
+        flat_idx = jnp.where(keep, flat_idx, h * w)
+        out = jnp.concatenate([canvas.reshape(-1), jnp.zeros((1,), canvas.dtype)])
+        out = out.at[flat_idx].set(vals.reshape(-1))
+        return out[:h * w].reshape(h, w)
     out = canvas.reshape(-1).at[flat_idx].set(vals.reshape(-1))
     return out.reshape(h, w)
