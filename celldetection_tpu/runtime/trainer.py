@@ -158,15 +158,23 @@ class CPNTrainer:
 
     def validate(self, val_data, iou_threshs: Sequence[float] = (.5, .6, .7, .8, .9),
                  calibrate: bool = True, reduce_fn=None,
-                 fast_labels: bool = True) -> Dict[str, float]:
+                 fast_labels: bool = True, distributed: bool = False) -> Dict[str, float]:
         """Hyperparameter-sweep validation with self-calibration.
 
         For every combination of ``val_hparams`` values, runs inference on all
         validation items, matches instances (LabelMatcher), reduces metrics
         over ``iou_threshs`` and, if ``calibrate``, sets the model attributes
         to the best setting by ``f1_np``.
+
+        ``distributed=True`` rank-deduplicates the validation set across
+        processes and sums the metric counts globally (parity:
+        ``lightning_base.py:629-633`` + the all_reduce of LabelMatcherList).
         """
         from itertools import product as iproduct
+        if distributed:
+            from ..parallel import host_all_reduce_sum, shard_inputs_by_process
+            val_data = shard_inputs_by_process(list(val_data), 'rank')
+            reduce_fn = reduce_fn or host_all_reduce_sum
         self.model.variables = self.state.variables()
         keys = list(self.val_hparams.keys())
         combos = list(iproduct(*self.val_hparams.values()))
