@@ -55,17 +55,25 @@ def main():
     fwd = jax.jit(lambda v, x: model.forward_padded(v, x, nms=True))
     x = jnp.asarray(np.random.RandomState(0).rand(batch, tile, tile, 3), jnp.float32)
 
-    def run_once():
-        out = fwd(model.variables, x)
+    def readback(out):
         # Host readback of the actual results (what a tile pipeline consumes).
         jax.device_get((out['boxes'], out['scores'], out['valid']))
 
-    run_once()  # compile
-    run_once()  # warm
+    out = fwd(model.variables, x)
+    readback(out)  # compile
+    out = fwd(model.variables, x)
+    readback(out)  # warm
 
+    # Double-buffered pipeline: dispatch batch i+1 before reading batch i
+    # (exactly what the tiled-inference loop does — results stay on device
+    # until the stitch, so dispatch and readback overlap).
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run_once()
+    pending = fwd(model.variables, x)
+    for _ in range(iters - 1):
+        nxt = fwd(model.variables, x)
+        readback(pending)
+        pending = nxt
+    readback(pending)
     dt = time.perf_counter() - t0
 
     tiles_per_s = batch * iters / dt
