@@ -26,6 +26,7 @@ __all__ = [
     'get_activation', 'Norm', 'ConvNorm', 'ConvNormRelu', 'TwoConvNormRelu', 'TwoConvNormLeaky',
     'ScaledTanh', 'ScaledSigmoid', 'ResBlock', 'BottleneckBlock', 'ReadOut', 'Fuse', 'Normalize',
     'SqueezeExcitation', 'SelfAttention', 'LayerNorm2d', 'DynamicTanh', 'kaiming_uniform',
+    'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride',
 ]
 
 # torch nn.BatchNorm2d defaults: momentum=0.1 (flax momentum = 1 - 0.1), eps=1e-5
@@ -374,6 +375,58 @@ class LayerNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.LayerNorm(epsilon=self.epsilon, name='ln')(x)
+
+
+class MinibatchStdLayer(nn.Module):
+    """Minibatch std-dev feature channel (ProGAN; ops parity commons.py:123)."""
+    channels: int = 1
+    group_channels: Optional[int] = None
+    epsilon: float = 1e-8
+
+    def __call__(self, x, train: bool = False):
+        from ..ops.commons import minibatch_std_layer
+        return minibatch_std_layer(x, self.channels, self.group_channels, self.epsilon)
+
+
+class SpatialSplit(nn.Module):
+    """Fold spatial patches into the batch dim (reference commons.py:515)."""
+    height: int
+    width: Optional[int] = None
+
+    def __call__(self, x, train: bool = False):
+        from ..ops.commons import split_spatially
+        return split_spatially(x, (self.height, self.width or self.height))
+
+
+class AdditiveNoise(nn.Module):
+    """Add (optionally learned-weighted) Gaussian noise (reference commons.py:564)."""
+    noise_channels: int = 1
+    mean: float = 0.
+    std: float = 1.
+    weighted: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        if not train:
+            return x
+        rng = self.make_rng('noise')
+        shape = x.shape[:-1] + (self.noise_channels,)
+        noise = jax.random.normal(rng, shape) * self.std + self.mean
+        noise = jnp.repeat(noise, c // self.noise_channels, -1)
+        w = self.param('weight', nn.initializers.zeros, (c,)) if self.weighted else 1.
+        return x + noise * w
+
+
+class Stride(nn.Module):
+    """Strided subsampling view (reference commons.py:612)."""
+    stride: int
+    start: int = 0
+
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        sl = (slice(None),) + (slice(self.start, None, self.stride),) * nd
+        return x[sl]
 
 
 class DynamicTanh(nn.Module):
