@@ -26,7 +26,7 @@ __all__ = [
     'get_activation', 'Norm', 'ConvNorm', 'ConvNormRelu', 'TwoConvNormRelu', 'TwoConvNormLeaky',
     'ScaledTanh', 'ScaledSigmoid', 'ResBlock', 'BottleneckBlock', 'ReadOut', 'Fuse', 'Normalize',
     'SqueezeExcitation', 'SelfAttention', 'LayerNorm2d', 'DynamicTanh', 'kaiming_uniform',
-    'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride',
+    'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride', 'ReplayCache',
 ]
 
 # torch nn.BatchNorm2d defaults: momentum=0.1 (flax momentum = 1 - 0.1), eps=1e-5
@@ -375,6 +375,42 @@ class LayerNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.LayerNorm(epsilon=self.epsilon, name='ln')(x)
+
+
+class ReplayCache:
+    """Experience-replay cache for GAN training (reference commons.py:207).
+
+    Host-side container of detached batch items; ``add`` stores a fraction of
+    a batch, calling the cache samples a batch back.
+    """
+
+    def __init__(self, size: int = 128, rng: 'np.random.RandomState' = None):
+        import numpy as np
+        self.cache = []
+        self.size = size
+        self.rng = rng or np.random
+
+    def __len__(self):
+        return len(self.cache)
+
+    def is_empty(self):
+        return len(self) <= 0
+
+    def add(self, x, fraction: float = .5):
+        import numpy as np
+        x = np.asarray(x)
+        n = len(x)
+        for i in self.rng.choice(np.arange(n), int(n * fraction), replace=False):
+            self.cache.append(np.array(x[i]))
+        while len(self) > self.size:
+            del self.cache[self.rng.randint(0, len(self))]
+
+    def __call__(self, num: int):
+        import numpy as np
+        if self.is_empty():
+            return None
+        idx = self.rng.randint(0, len(self), num)
+        return jnp.asarray(np.stack([self.cache[i] for i in idx], 0))
 
 
 class MinibatchStdLayer(nn.Module):

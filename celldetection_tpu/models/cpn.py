@@ -745,6 +745,66 @@ def _register_backbone_cpns():
     specs['CpnResNet50MaNet'] = _manet_backbone(resnet_lib.ResNet50)
     specs['CpnResNet18MaNet'] = _manet_backbone(resnet_lib.ResNet18)
 
+    # timm / smp encoder variants (host-executed backbones via pure_callback;
+    # require the optional torch-side packages — reference zoo parity for
+    # CpnTimmUNet :2001, CpnSmpUNet :1960, CpnTimmMaNet :2042, CpnSmpMaNet :1919).
+    def _host_unet(adapter_name):
+        def ctor(in_channels, out_channels=0, model_name=None, backbone_kwargs=None,
+                 pretrained=False, **kw):
+            from .host_encoder import HostEncoder
+            if adapter_name == 'timm':
+                from .timmodels import TimmEncoder
+                enc = TimmEncoder(model_name, in_channels=in_channels,
+                                  pretrained=pretrained, **(backbone_kwargs or {}))
+            else:
+                from .smp import SmpEncoder
+                enc = SmpEncoder(model_name, in_channels=in_channels,
+                                 weights='imagenet' if pretrained else None,
+                                 **(backbone_kwargs or {}))
+            host = HostEncoder(enc)
+            return unet_lib.UNet(body=host, in_channels_list=list(enc.out_channels),
+                                 in_strides_list=list(enc.out_strides),
+                                 out_channels=out_channels, **kw)
+        return ctor
+
+    def _host_manet(adapter_name):
+        def ctor(in_channels, out_channels=0, model_name=None, backbone_kwargs=None,
+                 pretrained=False, **kw):
+            from .host_encoder import HostEncoder
+            from . import manet as manet_lib2
+            if adapter_name == 'timm':
+                from .timmodels import TimmEncoder
+                enc = TimmEncoder(model_name, in_channels=in_channels,
+                                  pretrained=pretrained, **(backbone_kwargs or {}))
+            else:
+                from .smp import SmpEncoder
+                enc = SmpEncoder(model_name, in_channels=in_channels,
+                                 weights='imagenet' if pretrained else None,
+                                 **(backbone_kwargs or {}))
+            return manet_lib2.MaNet(body=HostEncoder(enc), **kw)
+        return ctor
+
+    def _host_cpn(backbone_fn, cpn_name):
+        def ctor(in_channels: int, model_name: str, backbone_kwargs: dict = None, **kwargs):
+            bb_kwargs = dict(backbone_kwargs or {})
+            pretrained = bb_kwargs.pop('pretrained', False)
+            backbone = backbone_fn(in_channels, 0, model_name=model_name,
+                                   backbone_kwargs=bb_kwargs, pretrained=pretrained)
+            m = CPN(backbone=backbone, **kwargs)
+            m.hparams.update(in_channels=in_channels, model=cpn_name, model_name=model_name)
+            return m
+        ctor.__name__ = cpn_name
+        return ctor
+
+    for nm, fn in (('CpnTimmUNet', _host_unet('timm')), ('CpnSmpUNet', _host_unet('smp')),
+                   ('CpnTimmMaNet', _host_manet('timm')), ('CpnSmpMaNet', _host_manet('smp'))):
+        specs[nm] = None  # handled separately below
+        cpn_fn = _host_cpn(fn, nm)
+        models_by_name[nm] = cpn_fn
+        globals()[nm] = cpn_fn
+        __all__.append(nm)
+    specs = {k: v for k, v in specs.items() if v is not None}
+
     def make(cpn_name, backbone_fn):
         def ctor(in_channels: int, order: int = 5, nms_thresh: float = .2,
                  score_thresh: float = .9, samples: int = 32, classes: int = 2,

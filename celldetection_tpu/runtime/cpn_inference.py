@@ -235,6 +235,11 @@ def cpn_inference(
                 ov = contours2overlay(res['contours'], (h, w))
                 from ..util.io import to_tiff
                 to_tiff(os.path.join(outputs, f'{name}_overlay.tiff'), ov)
+            if demo_figure:
+                from ..visualization.images import save_fig, show_detection
+                ax = show_detection(image=img[..., 0] if img.ndim == 3 else img,
+                                    contours=list(res['contours']))
+                save_fig(os.path.join(outputs, f'{name}_demo.png'), ax.figure)
             results.append(res)
         except Exception as e:
             if continue_on_exception:

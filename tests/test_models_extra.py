@@ -200,3 +200,39 @@ def test_util_misc():
     assert len(name) == 6 and name.isalpha()
     assert util.parse_url_params('http://x.com/a?b=1&c=2') == {'b': '1', 'c': '2'}
     assert util.say_goodbye().endswith('!')
+
+
+def test_host_encoder_in_jit():
+    from celldetection_tpu.models.host_encoder import HostEncoder
+
+    class FakeEnc:
+        out_channels = [8, 16]
+        out_strides = [2, 4]
+
+        def __call__(self, x, train=False):
+            n, h, w, c = x.shape
+            return {'0': np.ones((n, h // 2, w // 2, 8), np.float32),
+                    '1': np.ones((n, h // 4, w // 4, 16), np.float32)}
+
+    he = HostEncoder(FakeEnc())
+    v = he.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), False)
+    out = jax.jit(lambda x: he.apply(v, x, False))(jnp.zeros((1, 16, 16, 3)))
+    assert out['0'].shape == (1, 8, 8, 8) and out['1'].shape == (1, 4, 4, 16)
+
+
+def test_timm_smp_cpns_gated():
+    import pytest as _pytest
+    from celldetection_tpu import models as _m
+    for name in ('CpnTimmUNet', 'CpnSmpUNet', 'CpnTimmMaNet', 'CpnSmpMaNet'):
+        assert name in _m.models_by_name
+        with _pytest.raises(ImportError):
+            _m.get_cpn(name)(3, model_name='resnet18')
+
+
+def test_replay_cache():
+    from celldetection_tpu.models import ReplayCache
+    rc = ReplayCache(size=8, rng=np.random.RandomState(0))
+    rc.add(np.ones((4, 2, 2)), fraction=1.0)
+    assert len(rc) == 4
+    batch = rc(2)
+    assert batch.shape == (2, 2, 2)
