@@ -254,8 +254,24 @@ class CPNTrainer:
 
     # --- checkpointing ------------------------------------------------------
 
-    def save_checkpoint(self, path: str):
-        """Save params/model-state/opt-state/step/RNG (msgpack)."""
+    def save_checkpoint(self, path: str, backend: str = 'msgpack'):
+        """Save params/model-state/opt-state/step/RNG.
+
+        ``backend='orbax'`` writes an Orbax checkpoint directory (sharded,
+        multi-host-safe — the production choice for pods); the default single
+        msgpack file is convenient for single-host runs.
+        """
+        if backend == 'orbax':
+            import orbax.checkpoint as ocp
+            ckpt = {
+                'variables': self.state.variables(),
+                'opt_state': self.state.opt_state,
+                'step': self.state.step,
+                'rng': np.asarray(jax.random.key_data(self.rng)),
+            }
+            with ocp.PyTreeCheckpointer() as cp:
+                cp.save(os.path.abspath(path), ckpt, force=True)
+            return
         import msgpack
         from flax import serialization
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
@@ -269,7 +285,25 @@ class CPNTrainer:
         with open(path, 'wb') as f:
             f.write(msgpack.packb(payload))
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, backend: str = 'msgpack'):
+        if backend == 'orbax':
+            import orbax.checkpoint as ocp
+            template = {
+                'variables': self.state.variables(),
+                'opt_state': self.state.opt_state,
+                'step': self.state.step,
+                'rng': np.asarray(jax.random.key_data(self.rng)),
+            }
+            with ocp.PyTreeCheckpointer() as cp:
+                ckpt = cp.restore(os.path.abspath(path), item=template)
+            self.state.params = ckpt['variables']['params']
+            self.state.model_state = {k: v for k, v in ckpt['variables'].items()
+                                      if k != 'params'}
+            self.state.opt_state = ckpt['opt_state']
+            self.state.step = int(ckpt['step'])
+            self.rng = jax.random.wrap_key_data(jnp.asarray(ckpt['rng'], jnp.uint32))
+            self.model.variables = self.state.variables()
+            return
         import msgpack
         from flax import serialization
         with open(path, 'rb') as f:

@@ -131,3 +131,13 @@ def test_cpn_inference_ensemble(trained, tmp_path):
     )
     # identical duplicated models agree -> ensemble ~= single after NMS
     assert abs(len(results[0]['boxes']) - len(single[0]['boxes'])) <= 1
+
+
+def test_orbax_checkpoint_roundtrip(trained, tmp_path):
+    trainer, _ = trained
+    d = str(tmp_path / 'orbax_ckpt')
+    step_at_save = trainer.state.step
+    trainer.save_checkpoint(d, backend='orbax')
+    trainer.state.step = step_at_save + 123
+    trainer.load_checkpoint(d, backend='orbax')
+    assert trainer.state.step == step_at_save
