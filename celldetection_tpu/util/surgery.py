@@ -12,7 +12,8 @@ import jax
 import numpy as np
 
 __all__ = ['iter_params', 'match_paths', 'map_params', 'replace_params', 'freeze_mask',
-           'frozen_optimizer', 'ema_update', 'count_params']
+           'frozen_optimizer', 'ema_update', 'count_params', 'spectral_normalize',
+           'weight_normalize']
 
 
 def _flat(tree):
@@ -86,6 +87,44 @@ def frozen_optimizer(tx, params, pattern: str):
     frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
     return optax.chain(optax.masked(tx, trainable),
                        optax.masked(optax.set_to_zero(), frozen))
+
+
+def spectral_normalize(params, pattern: str = r'kernel$', iterations: int = 20,
+                       eps: float = 1e-12):
+    """Divide matching kernels by their largest singular value.
+
+    The functional analogue of applying torch spectral norm to module weights
+    (``celldetection/util/util.py:922``): power iteration estimates sigma_max
+    of each kernel (reshaped to 2d) and the kernel is scaled to unit spectral
+    norm. Returns a new tree.
+    """
+    import jax.numpy as jnp
+
+    def norm_one(s, v):
+        w = jnp.reshape(v, (-1, v.shape[-1]))
+        u = jnp.ones((w.shape[0],), v.dtype) / (w.shape[0] ** 0.5)
+        for _ in range(iterations):
+            vv = w.T @ u
+            vv = vv / (jnp.linalg.norm(vv) + eps)
+            u = w @ vv
+            u = u / (jnp.linalg.norm(u) + eps)
+        sigma = u @ (w @ vv)
+        return v / (sigma + eps)
+
+    return map_params(params, norm_one, pattern)
+
+
+def weight_normalize(params, pattern: str = r'kernel$', eps: float = 1e-12):
+    """Normalize matching kernels to unit L2 norm per output channel
+    (the direction component of torch weight norm, ``util.py:954``)."""
+    import jax.numpy as jnp
+
+    def norm_one(s, v):
+        flat = jnp.reshape(v, (-1, v.shape[-1]))
+        n = jnp.linalg.norm(flat, axis=0)
+        return v / (n + eps)
+
+    return map_params(params, norm_one, pattern)
 
 
 def ema_update(ema_params, new_params, decay: float = 0.999):

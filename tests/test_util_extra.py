@@ -123,3 +123,14 @@ def test_batched_h5_and_base64(tmp_path):
     s = uio.img_to_base64(img)
     back = uio.base64_to_img(s)
     np.testing.assert_array_equal(img, back)
+
+
+def test_spectral_and_weight_normalize():
+    rng = np.random.RandomState(0)
+    params = {'conv': {'kernel': jnp.asarray(rng.randn(3, 3, 4, 8) * 3, jnp.float32)}}
+    sn = util.spectral_normalize(params)
+    w = np.asarray(sn['conv']['kernel']).reshape(-1, 8)
+    assert abs(np.linalg.svd(w, compute_uv=False)[0] - 1.0) < 1e-2
+    wn = util.weight_normalize(params)
+    w2 = np.asarray(wn['conv']['kernel']).reshape(-1, 8)
+    np.testing.assert_allclose(np.linalg.norm(w2, axis=0), 1.0, rtol=1e-5)
