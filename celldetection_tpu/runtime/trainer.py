@@ -82,21 +82,36 @@ class CPNTrainer:
 
     # --- training -----------------------------------------------------------
 
+    def _make_batch(self, train_data, idx, samples, order, max_instances, rng_np):
+        images, items = [], []
+        for i in idx:
+            image, labels = train_data[int(i)]
+            if image.ndim == 2:
+                image = image[..., None]
+            items.append(cpn_targets_single(np.ascontiguousarray(labels), samples,
+                                            order, rng=rng_np))
+            images.append(np.asarray(image, np.float32))
+        targets = collate_cpn_targets(items, max_instances=max_instances)
+        return {'image': np.stack(images),
+                **{k: v for k, v in targets.items() if k != 'num_instances'}}
+
     def fit(self, train_data, epochs: int = 1, batch_size: int = 4,
             max_instances: int = 128, val_data=None, val_every: int = 1,
             samples: Optional[int] = None, order: Optional[int] = None,
             shuffle: bool = True, adaptive_sampling: bool = False,
-            sampling_alpha: float = 1.0):
+            sampling_alpha: float = 1.0, prefetch: int = 2):
         """Train on a dataset of ``(image, labels)`` pairs.
 
-        Targets are generated host-side per item (CPNTargetGenerator) while the
-        previous device step runs — the host/device pipeline overlaps naturally
-        through JAX's async dispatch.
+        Target generation (cv2 contour extraction, EFD, distance transforms)
+        runs in a host thread pool ``prefetch`` batches ahead of the device
+        step — cv2/numpy release the GIL, so target encoding overlaps device
+        compute (replaces the reference's DataLoader worker processes).
 
         ``adaptive_sampling`` re-weights item sampling by per-item EMA loss at
         each epoch end (parity: ``lightning_base.py:322-371``'s item records +
         ``update_sampler_weights``).
         """
+        from concurrent.futures import ThreadPoolExecutor
         samples = samples or self.model.samples
         order = order or self.model.order
         n = len(train_data)
@@ -104,6 +119,7 @@ class CPNTrainer:
         rng_np = np.random.RandomState(0)
         item_loss = np.zeros(n)
         item_seen = np.zeros(n, bool)
+        pool = ThreadPoolExecutor(max_workers=max(prefetch, 1))
         for epoch in range(epochs):
             if adaptive_sampling and item_seen.all():
                 w = np.power(np.maximum(item_loss, 1e-8), sampling_alpha)
@@ -113,19 +129,21 @@ class CPNTrainer:
                 order_idx = np.arange(n)
                 rng_np.shuffle(order_idx)
             t0 = time.time()
-            for start in range(0, n - batch_size + 1, batch_size):
+            starts = list(range(0, n - batch_size + 1, batch_size))
+            batch_rngs = [np.random.RandomState(rng_np.randint(2 ** 31)) for _ in starts]
+
+            def submit(j):
+                return pool.submit(self._make_batch, train_data,
+                                   order_idx[starts[j]:starts[j] + batch_size],
+                                   samples, order, max_instances, batch_rngs[j])
+
+            window = {j: submit(j) for j in range(min(prefetch, len(starts)))}
+            for bi, start in enumerate(starts):
                 idx = order_idx[start:start + batch_size]
-                images, items = [], []
-                for i in idx:
-                    image, labels = train_data[int(i)]
-                    if image.ndim == 2:
-                        image = image[..., None]
-                    items.append(cpn_targets_single(np.ascontiguousarray(labels), samples,
-                                                    order, rng=rng_np))
-                    images.append(np.asarray(image, np.float32))
-                targets = collate_cpn_targets(items, max_instances=max_instances)
-                batch = {'image': np.stack(images),
-                         **{k: v for k, v in targets.items() if k != 'num_instances'}}
+                batch = window.pop(bi).result()
+                nxt = bi + prefetch
+                if nxt < len(starts):
+                    window[nxt] = submit(nxt)
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._step_fn(self.state, batch, sub)
                 loss = float(metrics['loss'])
@@ -151,6 +169,7 @@ class CPNTrainer:
                 self.validate(val_data)
             if self.checkpoint_dir:
                 self.save_checkpoint(os.path.join(self.checkpoint_dir, 'last.ckpt'))
+        pool.shutdown(wait=False)
         self.model.variables = self.state.variables()
         return self.history
 
