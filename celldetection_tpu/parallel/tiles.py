@@ -245,6 +245,39 @@ class TiledInference:
         else:
             self._fn = fn
 
+    def _run_batches(self, model, tiles, offsets, borders, overlaps, st, bs,
+                     upper_tiles, lower_tiles, use_bounds):
+        t = tiles.shape[0]
+        chunks = []
+        for i in range(math.ceil(t / bs)):
+            sl = slice(i * bs, (i + 1) * bs)
+            tb, ob, bb, vb = tiles[sl], offsets[sl], borders[sl], overlaps[sl]
+            n = tb.shape[0]
+            ub = None if upper_tiles is None else upper_tiles[sl]
+            lb = None if lower_tiles is None else lower_tiles[sl]
+            if n < bs:  # pad the final batch (padding tiles produce valid=False)
+                reps = bs - n
+                tb = jnp.concatenate([tb, jnp.zeros((reps,) + tb.shape[1:], tb.dtype)])
+                ob = np.concatenate([ob, np.zeros((reps, 2), np.float32)])
+                bb = np.concatenate([bb, np.ones((reps, 4), bool)])
+                vb = np.concatenate([vb, np.zeros((reps, 2, 2), np.float32)])
+                if ub is not None:
+                    ub = np.concatenate([ub, np.zeros((reps,) + ub.shape[1:], ub.dtype)])
+                if lb is not None:
+                    lb = np.concatenate([lb, np.zeros((reps,) + lb.shape[1:], lb.dtype)])
+            if use_bounds:
+                ub_j = jnp.asarray(ub) if ub is not None else jnp.ones(tb.shape[:3] + (1,))
+                lb_j = jnp.asarray(lb) if lb is not None else jnp.zeros(tb.shape[:3] + (1,))
+                out = self._fn_bounds(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                                      jnp.asarray(vb), st, lb_j, ub_j)
+            else:
+                out = self._fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                               jnp.asarray(vb), st)
+            if n < bs:
+                out = {k: (None if v is None else v[:n]) for k, v in out.items()}
+            chunks.append(out)
+        return chunks
+
     def __call__(self, image: np.ndarray, score_thresh: Optional[float] = None,
                  mask: Optional[np.ndarray] = None,
                  point_mask: Optional[np.ndarray] = None) -> dict:
@@ -298,35 +331,21 @@ class TiledInference:
 
         # Per-tile results stay ON DEVICE; only the final compacted detections
         # transfer to host (the PJRT host link is slow relative to ICI/HBM).
-        chunks = []
-        n_batches = math.ceil(t / bs)
-        for i in range(n_batches):
-            sl = slice(i * bs, (i + 1) * bs)
-            tb, ob, bb, vb = tiles[sl], offsets[sl], borders[sl], overlaps[sl]
-            n = tb.shape[0]
-            ub = None if upper_tiles is None else upper_tiles[sl]
-            lb = None if lower_tiles is None else lower_tiles[sl]
-            if n < bs:  # pad the final batch (padding tiles produce valid=False)
-                reps = bs - n
-                tb = jnp.concatenate([tb, jnp.zeros((reps,) + tb.shape[1:], tb.dtype)])
-                ob = np.concatenate([ob, np.zeros((reps, 2), np.float32)])
-                bb = np.concatenate([bb, np.ones((reps, 4), bool)])
-                vb = np.concatenate([vb, np.zeros((reps, 2, 2), np.float32)])
-                if ub is not None:
-                    ub = np.concatenate([ub, np.zeros((reps,) + ub.shape[1:], ub.dtype)])
-                if lb is not None:
-                    lb = np.concatenate([lb, np.zeros((reps,) + lb.shape[1:], lb.dtype)])
-            if use_bounds:
-                ub_j = jnp.asarray(ub) if ub is not None else jnp.ones(tb.shape[:3] + (1,))
-                lb_j = jnp.asarray(lb) if lb is not None else jnp.zeros(tb.shape[:3] + (1,))
-                out = self._fn_bounds(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
-                                      jnp.asarray(vb), st, lb_j, ub_j)
-            else:
-                out = self._fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
-                               jnp.asarray(vb), st)
-            if n < bs:
-                out = {k: (None if v is None else v[:n]) for k, v in out.items()}
-            chunks.append(out)
+        # On device OOM the batch size halves and the loop restarts (parity
+        # with the reference's OOM failover, cpn_inference.py:171-193).
+        try:
+            chunks = self._run_batches(model, tiles, offsets, borders, overlaps, st, bs,
+                                       upper_tiles, lower_tiles, use_bounds)
+        except Exception as e:
+            if 'RESOURCE_EXHAUSTED' not in str(e) or bs <= 1:
+                raise
+            self.batch_size = max(bs // 2, 1)
+            self._fn = None
+            self._fn_bounds = None
+            self._build(use_bounds)
+            chunks = self._run_batches(model, tiles, offsets, borders, overlaps, st,
+                                       self.batch_size, upper_tiles, lower_tiles,
+                                       use_bounds)
 
         det = {k: (jnp.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None
                    else None) for k in chunks[0]}

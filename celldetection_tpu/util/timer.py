@@ -9,7 +9,7 @@ from contextlib import contextmanager
 
 import jax
 
-__all__ = ['start_timer', 'stop_timer', 'timed', 'Timer']
+__all__ = ['start_timer', 'stop_timer', 'timed', 'Timer', 'profiler_trace']
 
 _TIMERS = {}
 
@@ -43,6 +43,21 @@ def timed(key: str = 'default', verbose: bool = True):
         yield
     finally:
         stop_timer(key, verbose=verbose)
+
+
+@contextmanager
+def profiler_trace(log_dir: str = 'profiles', host_profile: bool = False):
+    """Capture a jax.profiler trace (view with TensorBoard/Perfetto).
+
+    The TPU analogue of the reference's CUDA-synchronized keyword timers +
+    pynvml telemetry (``celldetection/util/timer.py``, ``GpuStats``): one
+    context records device timelines, HLO ops, and memory events.
+    """
+    import jax.profiler
+    with jax.profiler.trace(log_dir, create_perfetto_trace=True):
+        yield
+    if host_profile:
+        print(f'profiler trace written to {log_dir}')
 
 
 class Timer:
