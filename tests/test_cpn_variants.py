@@ -101,3 +101,27 @@ def test_samples_changeable_on_the_fly():
     out32 = m(x, score_thresh=0.3)
     assert all(c.shape[1] == 32 for c in out32['contours'])
     assert len(out8['contours'][0]) == len(out32['contours'][0])
+
+
+def test_multiclass_training_step():
+    """CE score path with per-instance class targets trains with finite grads."""
+    m = models.CpnU12(in_channels=1, classes=4, max_detections=32, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    x, targets = _batch()
+    n_inst = targets['fourier'].shape[1]
+    # synthetic classes 1..3 per instance (0 = background)
+    classes = (jnp.arange(n_inst)[None, :] % 3 + 1).astype(jnp.int32)
+    targets = dict(targets, classes=jnp.tile(classes, (2, 1)))
+
+    def loss_fn(p):
+        out, _ = m.forward_padded({'params': p, **{k: v for k, v in m.variables.items()
+                                                   if k != 'params'}},
+                                  jnp.asarray(x), train=True, targets=targets,
+                                  selection_rng=jax.random.PRNGKey(0), mutable=True)
+        return out['loss']
+
+    loss, grads = jax.value_and_grad(loss_fn)(m.variables['params'])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
