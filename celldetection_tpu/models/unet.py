@@ -90,6 +90,9 @@ class GeneralizedUNet(nn.Module):
     out_channels_list: Optional[Sequence[int]] = None
     keep_features: bool = True
     bridge_strides: bool = True
+    # Optional per-level block applied after each decoder block (reference
+    # ``secondary_block``, unet.py:153-155; e.g. MambaLayer).
+    secondary_block: Any = None
     nd: int = 2
 
     def _plan(self):
@@ -147,6 +150,8 @@ class GeneralizedUNet(nn.Module):
             else:  # bridge block (no lateral features at this stride)
                 last_inner = TwoConvNormRelu(out_list[i], use_bias=False,
                                              name=f'layer{i}')(top_down, train)
+            if self.secondary_block is not None:
+                last_inner = self.secondary_block(name=f'secondary{i}')(last_inner, train)
             results.insert(0, last_inner)
 
         if size is None:
