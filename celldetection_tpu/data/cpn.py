@@ -409,10 +409,13 @@ class CPNTargetGenerator:
     """Training-target machine: label image → CPN targets.
 
     ``feed(labels)`` filters instances, extracts contours, computes the
-    distance transform and fg/bg masking; lazy properties expose Fourier
-    coefficients, locations, sampled/resampled contours, and reduced labels.
+    distance transform and fg/bg masking. Derived quantities (Fourier
+    coefficients, locations, sampled/resampled contours, sizes) are produced
+    on demand by named stage builders (``_stage_*``) behind a single memo
+    cache, so each expensive step runs at most once per fed image.
 
-    Parity: ``celldetection/data/cpn.py:500-644``.
+    Behavioral parity with the reference target generator
+    (``celldetection/data/cpn.py:500-644``); implementation is original.
     """
 
     def __init__(self, samples: int, order: int, random_sampling: bool = True,
@@ -428,96 +431,88 @@ class CPNTargetGenerator:
         self.flag_fragmented = flag_fragmented
         self.flag_fragmented_constant = flag_fragmented_constant
         self.rng = rng or np.random
+        self.labels = self.labels_red = self.distances = None
+        self._memo = {}
 
-        self.labels = None
-        self.labels_red = None
-        self.distances = None
-        self._reset()
-
-    def _reset(self):
-        self._sampling = None
-        self._contours = None
-        self._fourier = None
-        self._locations = None
-        self._sampled_contours = None
-        self._sampled_sizes = None
-        self._resampled_contours = None
+    def _stage(self, name: str):
+        """Memoized stage lookup; builders live in ``_stage_<name>`` methods."""
+        if name not in self._memo:
+            self._memo[name] = getattr(self, f'_stage_{name}')()
+        return self._memo[name]
 
     def feed(self, labels: np.ndarray, border: int = 1, min_area: int = 1, max_area: int = None,
              **kwargs):
         """Feed a label image (may be modified inplace)."""
-        self._reset()
-        if labels.ndim == 2:
-            labels = labels[..., None]
-        filter_instances_(labels, partials=self.remove_partials, partials_border=border,
+        self._memo.clear()
+        self.labels = labels if labels.ndim == 3 else labels[..., None]
+        filter_instances_(self.labels, partials=self.remove_partials, partials_border=border,
                           min_area=min_area, max_area=max_area, constant=-1, continuous=True)
-        self.labels = labels
-        _ = self.contours  # compute (may flag fragmented instances)
-        self.distances, self.labels_red = labels2distances(labels, **kwargs)
+        # Contour extraction may flag fragmented instances inplace in
+        # self.labels, so it must run before the distance transform.
+        self._stage('contours')
+        self.distances, self.labels_red = labels2distances(self.labels, **kwargs)
         mask_labels_by_distance_(self.labels_red, self.distances, self.max_bg_dist, self.min_fg_dist)
 
+    # -- stage builders ----------------------------------------------------
+    def _stage_sampling(self):
+        if self.random_sampling:
+            return np.sort(self.rng.uniform(0., 1., self.samples))
+        return np.linspace(0., 1., self.samples)
+
+    def _stage_contours(self):
+        return labels2contours(self.labels, flag_fragmented_inplace=self.flag_fragmented,
+                               constant=self.flag_fragmented_constant, raise_fragmented=False)
+
+    def _stage_efd(self):
+        return contours2fourier(self._stage('contours'), order=self.order)
+
+    def _stage_sampled_contours(self):
+        fourier, locations = self._stage('efd')
+        return fourier2contour(fourier, locations, samples=self.samples, sampling=self.sampling)
+
+    def _stage_resampled_contours(self):
+        contours = self._stage('contours')
+        num = int(max(contours.keys(), default=0))
+        out = np.zeros((num, self.samples, 2))
+        for label, contour in contours.items():
+            out[label - 1] = resample_contours(contour.reshape(-1, 2), self.samples)
+        return out
+
+    # -- public surface ----------------------------------------------------
     @property
     def reduced_labels(self) -> np.ndarray:
         if self.flag_fragmented:
-            _ = self.contours
+            self._stage('contours')  # may drop fragmented instances first
         return self.labels_red.max(2)
 
     @property
     def sampling(self) -> np.ndarray:
-        if self._sampling is None:
-            if self.random_sampling:
-                self._sampling = self.rng.uniform(0., 1., self.samples)
-            else:
-                self._sampling = np.linspace(0., 1., self.samples)
-            self._sampling.sort()
-        return self._sampling
+        return self._stage('sampling')
 
     @property
     def contours(self) -> dict:
-        if self._contours is None:
-            self._contours = labels2contours(self.labels, flag_fragmented_inplace=self.flag_fragmented,
-                                             constant=self.flag_fragmented_constant, raise_fragmented=False)
-        return self._contours
+        return self._stage('contours')
 
     @property
     def fourier(self) -> np.ndarray:
-        if self._fourier is None:
-            self._fourier, self._locations = contours2fourier(self.contours, order=self.order)
-        return self._fourier
+        return self._stage('efd')[0]
 
     @property
     def locations(self) -> np.ndarray:
-        if self._locations is None:
-            self._fourier, self._locations = contours2fourier(self.contours, order=self.order)
-        return self._locations
+        return self._stage('efd')[1]
 
     @property
     def sampled_contours(self) -> np.ndarray:
         """``Array[num_contours, samples, 2]`` decoded from the EFD targets."""
-        if self._sampled_contours is None:
-            self._sampled_contours = fourier2contour(self.fourier, self.locations,
-                                                     samples=self.samples, sampling=self.sampling)
-        return self._sampled_contours
+        return self._stage('sampled_contours')
 
     @property
     def resampled_contours(self) -> np.ndarray:
         """Equidistantly resampled ground-truth contours (hires refinement targets)."""
-        if self._resampled_contours is None:
-            contours = self.contours
-            max_label = int(np.max(list(contours.keys()))) if len(contours) else 0
-            resampled = np.zeros((max_label, self.samples, 2))
-            for key, contour in contours.items():
-                if contour.ndim == 3:
-                    contour = contour.squeeze(1)
-                resampled[key - 1] = resample_contours(contour, self.samples)
-            self._resampled_contours = resampled
-            assert self._resampled_contours.shape == self.sampled_contours.shape
-        return self._resampled_contours
+        return self._stage('resampled_contours')
 
     @property
     def sampled_sizes(self) -> np.ndarray:
         """``Array[num_contours, 2]`` height/width per contour."""
-        if self._sampled_sizes is None:
-            c = self.sampled_contours
-            self._sampled_sizes = c.max(1) - c.min(1)
-        return self._sampled_sizes
+        c = self.sampled_contours
+        return c.max(1) - c.min(1)

@@ -8,7 +8,6 @@ accepts a ``reduce_fn(values: np.ndarray) -> np.ndarray`` hook; in multi-host
 JAX jobs pass e.g. a psum over hosts (see
 ``celldetection_tpu.parallel.host_all_reduce_sum``).
 """
-from itertools import chain, product
 from typing import Union
 from warnings import warn
 
@@ -22,47 +21,47 @@ def get_pos_labels(v):
     return labels[labels > 0]
 
 
-def _vec2matches(v):
-    a_vec, b_vec = v
-    return list(set(product(get_pos_labels(a_vec), get_pos_labels(b_vec))))
-
-
 def matching_labels(a: np.ndarray, b: np.ndarray):
     """All (input_label, target_label) pixel-overlap pairs and their counts.
 
-    Channels encode overlapping instances: a pixel supports a match for each
-    (positive) label pair across the channel axes.
+    Channels encode overlapping instances: a pixel supports one intersection
+    pixel for every distinct pair of positive labels found across the two
+    channel axes at that location. Fully vectorized: channel pairs are swept
+    as flat array passes and deduplicated per pixel with a single
+    ``np.unique`` over (pixel, label_a, label_b) triples — no per-pixel
+    Python loop (behavioral parity with the reference's pixel-overlap
+    counting, ``celldetection/data/instance_eval.py``).
     """
-    ac = (a > 0).sum(-1)
-    bc = (b > 0).sum(-1)
-    maximum = max(ac.max(initial=0), bc.max(initial=0))
-    intersect_one = (ac == 1) & (bc == 1)
-    matches = np.stack((a[intersect_one].max(-1), b[intersect_one].max(-1)), 1)
-    if maximum > 1:  # multi-channel overlaps need pairwise expansion
-        intersect_mul = ((ac > 1) & (bc > 0)) | ((bc > 1) & (ac > 0))
-        a_ = a[intersect_mul]
-        if len(a_):
-            new = np.array(list(chain.from_iterable(map(_vec2matches, zip(a_, b[intersect_mul])))))
-            matches = np.concatenate((matches, new))
-    matches, counts = np.unique(matches, axis=0, return_counts=True)
+    if a.ndim == 2:
+        a = a[..., None]
+    if b.ndim == 2:
+        b = b[..., None]
+    n_pix = int(np.prod(a.shape[:-1]))
+    af = a.reshape(n_pix, a.shape[-1]).astype(np.int64, copy=False)
+    bf = b.reshape(n_pix, b.shape[-1]).astype(np.int64, copy=False)
+    pix = np.arange(n_pix, dtype=np.int64)
+    triples = []
+    for i in range(af.shape[1]):
+        la = af[:, i]
+        for j in range(bf.shape[1]):
+            lb = bf[:, j]
+            hit = (la > 0) & (lb > 0)
+            if hit.any():
+                triples.append(np.stack((pix[hit], la[hit], lb[hit]), axis=1))
+    if not triples:
+        return np.zeros((0, 2), dtype=np.int64), np.zeros((0,), dtype=np.int64)
+    triples = np.concatenate(triples, axis=0)
+    # Per-pixel dedup: identical (label_a, label_b) at one pixel counts once.
+    triples = np.unique(triples, axis=0)
+    matches, counts = np.unique(triples[:, 1:], axis=0, return_counts=True)
     return matches, counts
 
 
-def _labels2counts(a):
-    count_dict = {}
-    uni, cnt = np.unique(a, return_counts=True)
-    for u, c in zip(uni, cnt):
-        if u != 0:
-            count_dict[u] = c
-    return count_dict
-
-
-def _labels_exist(func):
-    def wrapper(self, *a, **k):
-        if self.matches is None:
-            raise ValueError('No labels found. Add labels before retrieving results.')
-        return func(self, *a, **k)
-    return wrapper
+def _label_areas(labels: np.ndarray) -> dict:
+    """Pixel area per positive label (zero/background excluded up front)."""
+    fg = labels[labels > 0]
+    uni, cnt = np.unique(fg, return_counts=True)
+    return dict(zip(uni.tolist(), cnt.tolist()))
 
 
 class LabelMatcher:
@@ -85,23 +84,27 @@ class LabelMatcher:
         if inputs is not None and targets is not None:
             self.update(inputs, targets, iou_thresh)
 
+    def _require_update(self):
+        if self.matches is None:
+            raise ValueError('No labels added yet; call update() before reading results.')
+
     def update(self, inputs, targets, iou_thresh=None):
         inputs = inputs[:, :, None] if inputs.ndim == 2 else inputs
         targets = targets[:, :, None] if targets.ndim == 2 else targets
         self.input_labels = get_pos_labels(inputs)
         self.target_labels = get_pos_labels(targets)
         self.matches, self.intersections = matching_labels(inputs, targets)
-        self.input_counts = _labels2counts(inputs)
-        self.target_counts = _labels2counts(targets)
+        self.input_counts = _label_areas(inputs)
+        self.target_counts = _label_areas(targets)
         self.unions = np.array(
             [self.input_counts[i] + self.target_counts[j] for (i, j) in self.matches]
         ) - self.intersections
         self.ious = self.intersections / np.maximum(self.unions, 1)
         self.iou_thresh = self.iou_thresh if iou_thresh is None else iou_thresh
 
-    @_labels_exist
     def filter_and_threshold(self):
         """Greedy one-to-one selection by descending IoU above threshold."""
+        self._require_update()
         matches, ious = self.matches, self.ious
         indices = np.argsort(ious)[::-1]
         self._sel = ious >= self.iou_thresh
@@ -127,8 +130,8 @@ class LabelMatcher:
         self.filter_and_threshold()
 
     @property
-    @_labels_exist
     def true_positive_labels(self):
+        self._require_update()
         return set(self.matches[:, 0][self._sel]) if len(self.matches) > 0 else set()
 
     @property
@@ -136,8 +139,8 @@ class LabelMatcher:
         return len(self.true_positive_labels)
 
     @property
-    @_labels_exist
     def false_positive_labels(self):
+        self._require_update()
         matched = set(self.matches[:, 0][self._sel]) if len(self.matches) > 0 else set()
         return set(self.input_labels) - matched
 
@@ -146,8 +149,8 @@ class LabelMatcher:
         return len(self.false_positive_labels)
 
     @property
-    @_labels_exist
     def false_negative_labels(self):
+        self._require_update()
         matched = set(self.matches[:, 1][self._sel]) if len(self.matches) > 0 else set()
         return set(self.target_labels) - matched
 

@@ -16,70 +16,85 @@ __all__ = ['remove_partials_', 'fill_label_gaps_', 'filter_instances_', 'relabel
 
 
 def remove_partials_(label_stack: np.ndarray, border: int = 1, constant: int = -1):
-    """Inplace: set labels touching the image border to ``constant``."""
+    """Inplace: set labels touching the image border to ``constant``.
+
+    Border strips along the first two axes are flattened into one vector, the
+    positive labels occurring there are collected, and every pixel carrying
+    one of those labels (a single vectorized ``np.isin`` pass) is overwritten.
+    """
     if border < 1:
         return label_stack, None
-    bad = set(np.unique(label_stack[:, :border]))
-    bad.update(np.unique(label_stack[:, -border:]))
-    bad.update(np.unique(label_stack[:border, :]))
-    bad.update(np.unique(label_stack[-border:, :]))
-    mask = np.isin(label_stack, list(bad - {0}))
+    strips = (label_stack[:border], label_stack[-border:],
+              label_stack[:, :border], label_stack[:, -border:])
+    edge_labels = np.unique(np.concatenate([s.ravel() for s in strips]))
+    edge_labels = edge_labels[edge_labels != 0]
+    mask = np.isin(label_stack, edge_labels)
     label_stack[mask] = constant
     return label_stack, mask
 
 
 def fill_label_gaps_(labels: np.ndarray):
-    """Inplace: make positive labels continuous in [1, n]. Labels <= 0 preserved."""
-    uni = np.unique(labels)
-    uniques = sorted(set(uni) - set(uni[uni <= 0]))
-    gaps = sorted(set(range(1, len(uniques) + 1)) - set(uniques))
-    while gaps:
-        labels[labels == uniques.pop()] = gaps.pop()
+    """Inplace: make positive labels continuous in [1, n]. Labels <= 0 preserved.
+
+    One vectorized pass: ``np.unique(..., return_inverse=True)`` over the
+    positive pixels gives each label its dense rank; ranks + 1 are written
+    back. O(P log U) with no per-label scans, regardless of gap count.
+    """
+    fg = labels > 0
+    if not fg.any():
+        return
+    _, dense = np.unique(labels[fg], return_inverse=True)
+    labels[fg] = dense + 1
 
 
 def fill_padding_(inputs, padding: int, constant: int = -1, preserve_existing: bool = True, axes=(0, 1)):
-    """Inplace: mark padded border rows/cols with ``constant``."""
+    """Inplace: mark padded border rows/cols with ``constant``.
+
+    With ``preserve_existing`` only pixels that are zero across the trailing
+    channel axis are overwritten (padding never clobbers real instances).
+    """
     if padding <= 0:
         return
     if isinstance(inputs, (list, tuple)):
-        for i in inputs:
-            fill_padding_(i, padding, constant)
+        for item in inputs:
+            fill_padding_(item, padding, constant, preserve_existing, axes)
         return
     for ax in axes:
-        if ax < 0:
-            ax = ax + inputs.ndim
-        for sl in (slice(0, padding), slice(-padding, None)):
-            index = (slice(None),) * ax + (sl,)
+        view = np.moveaxis(inputs, ax % inputs.ndim, 0)
+        for band in (view[:padding], view[-padding:]):
             if preserve_existing:
-                mask = ~inputs[index].any(-1)
+                band[~band.any(-1)] = constant
             else:
-                mask = slice(None)
-            inputs[index][mask] = constant
+                band[...] = constant
 
 
 def remove_padding(inputs, padding: int):
+    """Crop ``padding`` rows/cols from both sides of the leading two axes."""
     if isinstance(inputs, (list, tuple)):
-        return [remove_padding(i, padding) for i in inputs]
-    return inputs[padding:-padding, padding:-padding]
+        return [remove_padding(item, padding) for item in inputs]
+    crop = (slice(padding, -padding),) * 2
+    return inputs[crop]
 
 
 def filter_instances_(labels: np.ndarray, partials: bool = True, partials_border: int = 1,
                       min_area: int = 4, max_area: int = None, constant: int = -1,
                       continuous: bool = True):
-    """Inplace instance filter: border partials, area bounds, relabel continuous."""
+    """Inplace instance filter: border partials, area bounds, relabel continuous.
+
+    Area screening is a single ``np.unique`` over foreground pixels followed
+    by one vectorized ``np.isin`` rewrite of every out-of-bounds label.
+    """
     if partials:
         remove_partials_(labels, border=partials_border, constant=constant)
-    if max_area is not None or min_area is not None:
-        uni_labels, uni_counts = np.unique(labels, return_counts=True)
-        keep = uni_labels > 0
-        uni_labels, uni_counts = uni_labels[keep], uni_counts[keep]
-        bad = []
-        if max_area:
-            bad += list(uni_labels[uni_counts > max_area].ravel())
+    if min_area or max_area:
+        uni, area = np.unique(labels[labels > 0], return_counts=True)
+        out = np.zeros(uni.shape, bool)
         if min_area:
-            bad += list(uni_labels[uni_counts < min_area].ravel())
-        for label in bad:
-            labels[labels == label] = constant
+            out |= area < min_area
+        if max_area:
+            out |= area > max_area
+        if out.any():
+            labels[np.isin(labels, uni[out])] = constant
     if continuous:
         fill_label_gaps_(labels)
 

@@ -44,6 +44,12 @@ def make_mesh(shape: Optional[Sequence[int]] = None, axis_names: Sequence[str] =
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f'make_mesh: requested shape {tuple(shape)} needs {int(np.prod(shape))} '
+            f'devices but JAX sees {len(devices)}: {devices}. For virtual multi-device '
+            f'testing set XLA_FLAGS=--xla_force_host_platform_device_count=N and '
+            f'JAX_PLATFORMS=cpu before JAX initializes.')
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
 
