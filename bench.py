@@ -34,28 +34,9 @@ A100_TILES_PER_S = {
 }
 
 
-def main():
-    # Default workload: CpnU22 (compiles in ~3 min through the remote-compile
-    # relay; the CpnResNeXt101UNet flagship takes ~15 min — run it via
-    # BENCH_MODEL=CpnResNeXt101UNet BENCH_BATCH=2; measured 5.4 tiles/s =
-    # 1.09x the A100 estimate).
-    model_name = os.environ.get('BENCH_MODEL', 'CpnU22')
-    batch = int(os.environ.get('BENCH_BATCH', '4' if model_name == 'CpnU22' else '2'))
-    tile = int(os.environ.get('BENCH_TILE', '1024'))
-    iters = int(os.environ.get('BENCH_ITERS', '10'))
-    dtype_name = os.environ.get('BENCH_DTYPE', 'bfloat16')
-
+def bench_model(model_name: str, batch: int, tile: int, iters: int, dtype_name: str):
     import jax
     import jax.numpy as jnp
-    # Persistent compilation cache: repeat runs skip the multi-minute XLA
-    # compile of the large backbones.
-    cache_dir = os.environ.get('BENCH_CACHE', os.path.expanduser('~/.cache/cdt_xla_cache'))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
-    except Exception:
-        pass
     from celldetection_tpu import models
 
     dev = jax.devices()[0]
@@ -91,13 +72,58 @@ def main():
 
     tiles_per_s = batch * iters / dt
     baseline = A100_TILES_PER_S.get(model_name, float('nan'))
-    print(json.dumps({
+    record = {
         'metric': f'{model_name} tiles(1024^2)/s/chip [{dtype_name}, batch {batch}, '
                   f'decode+refine+NMS, {dev.device_kind}]',
         'value': round(tiles_per_s, 3),
         'unit': 'tiles/s',
         'vs_baseline': round(tiles_per_s / baseline, 3) if baseline == baseline else None,
-    }))
+    }
+    print(json.dumps(record), flush=True)
+    return record
+
+
+def main():
+    # Default workload: BOTH models named in BASELINE.json — CpnU22 and the
+    # CpnResNeXt101UNet flagship (compiles ~3 / ~15 min through the
+    # remote-compile relay; results stream as they finish). Narrow with
+    # BENCH_MODEL=<name> for a single-model run.
+    tile = int(os.environ.get('BENCH_TILE', '1024'))
+    iters = int(os.environ.get('BENCH_ITERS', '10'))
+    dtype_name = os.environ.get('BENCH_DTYPE', 'bfloat16')
+
+    import jax
+    # Persistent compilation cache: repeat runs skip the multi-minute XLA
+    # compile of the large backbones (no-op through the remote-compile relay).
+    cache_dir = os.environ.get('BENCH_CACHE', os.path.expanduser('~/.cache/cdt_xla_cache'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
+
+    single = os.environ.get('BENCH_MODEL')
+    names = [single] if single else ['CpnU22', 'CpnResNeXt101UNet']
+    records = []
+    for name in names:
+        batch = int(os.environ.get('BENCH_BATCH', '4' if name == 'CpnU22' else '2'))
+        records.append(bench_model(name, batch, tile, iters, dtype_name))
+
+    if len(records) > 1:
+        # Final combined line (the driver parses the last JSON line): the
+        # binding constraint across both named models.
+        worst = min(records, key=lambda r: r['vs_baseline'])
+        print(json.dumps({
+            'metric': 'min over {CpnU22, CpnResNeXt101UNet} of tiles(1024^2)/s/chip '
+                      'vs A100 estimate [' + dtype_name + ', decode+refine+NMS]; '
+                      'per-model: ' + '; '.join(
+                          f"{n}={r['value']} tiles/s ({r['vs_baseline']}x)"
+                          for n, r in zip(names, records)),
+            'value': worst['value'],
+            'unit': 'tiles/s',
+            'vs_baseline': worst['vs_baseline'],
+        }), flush=True)
 
 
 if __name__ == '__main__':
