@@ -1,31 +1,38 @@
-"""Pallas TPU kernel: exact-greedy NMS for large box counts.
+"""Pallas TPU kernel: exact-greedy NMS as a VMEM-resident blocked sweep.
 
-The XLA formulation (``celldetection_tpu.ops.boxes.nms_padded``) re-reads
-box data from HBM for every [tile, N] suppression step; this kernel keeps the
-whole score-sorted box list in VMEM and runs the greedy sweep in-core as pure
-``[1, N]`` vector operations — the classic row sweep: visit boxes in score
-order, and for each survivor suppress every later box with IoU above the
-threshold. Keep sets match ``torchvision.ops.nms`` bit-for-bit.
+The XLA formulation (``celldetection_tpu.ops.boxes.nms_padded``) carries the
+keep mask through a ``fori_loop`` whose every step re-streams the full box
+list from HBM for the ``[tile, N]`` suppression slab — O(N²·16/T) bytes of
+HBM traffic plus per-step loop latency. This kernel keeps the score-sorted
+boxes (planar ``[8, N]`` layout: coordinate rows are lane-major vectors) and
+the keep mask entirely in VMEM and runs the same *exact greedy* sweep as two
+nested blocked loops:
 
-VMEM holds 6 ``[1, N]`` vectors (coords, area, keep): N up to ~500k fits the
-~16 MB budget. For larger N, chunk at the caller (the reference does the same
-at 50k: ``celldetection/ops/cpn.py:189-227``).
+  1. per tile of ``tile`` boxes: an in-tile sequential suppression over the
+     ``[tile, tile]`` IoU matrix (scratch-resident, dynamic row reads);
+  2. per later column block of ``cblk`` boxes: a ``[tile, cblk]`` broadcast
+     IoU computed from the planar rows, reduced over kept rows — pure VPU
+     work with zero HBM re-reads.
 
-Measured on TPU v5e: keep sets match the XLA path exactly; at N=2k both run
-~15 ms, at N=20k the scalar row loop's per-iteration overhead makes this
-kernel slower (621 ms vs 42 ms) — ``nms_padded`` (whose O(N²) work lives in
-blocked matrix ops) remains the production path, and this kernel documents
-the VMEM-resident pattern for a future blocked Mosaic implementation.
+Keep sets match ``torchvision.ops.nms`` / ``nms_padded`` bit-for-bit (same
+visit order, same strictly-greater threshold test).
+
+VMEM budget: ``[8, N]`` boxes + ``[1, N]`` mask + ``[tile, tile]`` scratch +
+``[tile, cblk]`` working set ≈ 36·N bytes + 2.3 MB → N up to ~300k fits the
+16 MB budget; larger N goes through ``nms_chunked`` (the reference chunks at
+50k too, ``celldetection/ops/cpn.py:189-227``).
+
+Measured on TPU v5e (fp32, crowded random boxes, vs the XLA ``nms_padded``):
+see ``scripts/profile_nms.py``; wired as the production sweep for large N in
+``ops/boxes.py`` when running on TPU.
 """
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+from jax.experimental import pallas as pl
 
 __all__ = ['nms_pallas', 'nms_pallas_impl', 'pallas_available']
-
-LANE = 128  # pad N to the lane width
 
 
 def pallas_available() -> bool:
@@ -36,49 +43,90 @@ def pallas_available() -> bool:
         return False
 
 
-def _nms_kernel(data_ref, keep_ref, *, iou_threshold, n):
-    """data_ref: [8, N] rows (x0, y0, x1, y1, valid, 0...); keep_ref: [1, N]."""
-    x0 = data_ref[0:1, :]
-    y0 = data_ref[1:2, :]
-    x1 = data_ref[2:3, :]
-    y1 = data_ref[3:4, :]
-    keep_ref[:] = data_ref[4:5, :]
-    area = (x1 - x0) * (y1 - y0)
-    pos = jax.lax.broadcasted_iota(jnp.int32, x0.shape, 1)
+def _iou_block(x0r, y0r, x1r, y1r, ar, x0c, y0c, x1c, y1c, ac, thresh):
+    """IoU > thresh of row boxes [T, 1] vs column boxes [1, C] → bool [T, C]."""
+    iw = jnp.maximum(jnp.minimum(x1r, x1c) - jnp.maximum(x0r, x0c), 0.)
+    ih = jnp.maximum(jnp.minimum(y1r, y1c) - jnp.maximum(y0r, y0c), 0.)
+    inter = iw * ih
+    union = ar + ac - inter
+    return jnp.where(union > 0., inter, 0.) > thresh * union
 
-    def body(j, _):
-        sel = pos == j
-        jx0 = jnp.sum(jnp.where(sel, x0, 0.))
-        jy0 = jnp.sum(jnp.where(sel, y0, 0.))
-        jx1 = jnp.sum(jnp.where(sel, x1, 0.))
-        jy1 = jnp.sum(jnp.where(sel, y1, 0.))
-        keep = keep_ref[0:1, :]
-        kj = jnp.sum(jnp.where(sel, keep, 0.)) > 0.
-        ja = (jx1 - jx0) * (jy1 - jy0)
-        inter = (jnp.maximum(jnp.minimum(x1, jx1) - jnp.maximum(x0, jx0), 0.)
-                 * jnp.maximum(jnp.minimum(y1, jy1) - jnp.maximum(y0, jy0), 0.))
-        union = area + ja - inter
-        iou = jnp.where(union > 0., inter / union, 0.)
-        sup = (iou > iou_threshold) & (pos > j) & kj
-        keep_ref[0:1, :] = jnp.where(sup, 0., keep)
+
+def _nms_kernel(data_ref, keep_ref, iou_scr, *, iou_threshold, tile, cblk):
+    """data_ref [8, Np] (rows: x0, y0, x1, y1, valid); keep_ref [1, Np]."""
+    np_tot = data_ref.shape[1]
+    num_tiles = np_tot // tile
+    num_cblk = np_tot // cblk
+    keep_ref[:] = data_ref[4:5, :]
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (1, cblk), 1)
+
+    def tile_body(i, _):
+        s = pl.multiple_of(i * tile, tile)
+        x0 = data_ref[0:1, pl.ds(s, tile)]
+        y0 = data_ref[1:2, pl.ds(s, tile)]
+        x1 = data_ref[2:3, pl.ds(s, tile)]
+        y1 = data_ref[3:4, pl.ds(s, tile)]
+        area = (x1 - x0) * (y1 - y0)
+        x0r, y0r, x1r, y1r = (v.reshape(tile, 1) for v in (x0, y0, x1, y1))
+        ar = area.reshape(tile, 1)
+
+        # ---- in-tile sequential greedy over the [T, T] IoU matrix ----------
+        iou_scr[:] = _iou_block(x0r, y0r, x1r, y1r, ar,
+                                x0, y0, x1, y1, area, iou_threshold)
+
+        def inner(j, k):
+            row = iou_scr[pl.ds(j, 1), :]                      # [1, T] bool
+            # k[j] extracted by masked reduce (arbitrary lane-position reads
+            # must be 128-aligned on TPU; a reduce avoids the constraint)
+            kj = jnp.sum(jnp.where(col_t == j, k, 0.))
+            sup = row & (col_t > j) & (kj > 0.)
+            return jnp.where(sup, 0., k)
+
+        k = keep_ref[0:1, pl.ds(s, tile)]
+        k = jax.lax.fori_loop(0, tile, inner, k)
+        keep_ref[0:1, pl.ds(s, tile)] = k
+        kept = k.reshape(tile, 1) > 0.
+
+        # ---- suppress all strictly-later boxes, one [T, C] block at a time -
+        def col_body(cb, _):
+            cs = pl.multiple_of(cb * cblk, cblk)
+            x0c = data_ref[0:1, pl.ds(cs, cblk)]
+            y0c = data_ref[1:2, pl.ds(cs, cblk)]
+            x1c = data_ref[2:3, pl.ds(cs, cblk)]
+            y1c = data_ref[3:4, pl.ds(cs, cblk)]
+            ac = (x1c - x0c) * (y1c - y0c)
+            over = _iou_block(x0r, y0r, x1r, y1r, ar,
+                              x0c, y0c, x1c, y1c, ac, iou_threshold)
+            sup = jnp.any(over & kept, axis=0, keepdims=True)   # [1, C]
+            sup = sup & ((cs + col_c) >= s + tile)              # later boxes only
+            kcol = keep_ref[0:1, pl.ds(cs, cblk)]
+            keep_ref[0:1, pl.ds(cs, cblk)] = jnp.where(sup, 0., kcol)
+            return 0
+
+        first_cb = (i * tile) // cblk  # first block containing later boxes
+        jax.lax.fori_loop(first_cb, num_cblk, col_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
 def nms_pallas_impl(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-                    iou_threshold: float, interpret: bool = False) -> jnp.ndarray:
-    """Exact-greedy NMS keep mask via the Pallas sweep kernel (unjitted).
+                    iou_threshold: float, tile: int = 256, cblk: int = 2048,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Exact-greedy NMS keep mask via the blocked Pallas sweep (unjitted).
 
-    Same contract as :func:`celldetection_tpu.ops.boxes.nms_padded`.
+    Same contract as :func:`celldetection_tpu.ops.boxes.nms_padded`: boxes in
+    any order, scores define the greedy visit order, ``valid`` masks padding;
+    returns a bool keep mask in the original order.
     """
-    import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = boxes.shape[0]
     if n == 0:
         return jnp.zeros((0,), bool)
-    n_pad = (-n) % LANE
+    blk = max(tile, cblk)
+    n_pad = (-n) % blk
     order = jnp.argsort(jnp.where(valid, scores, -jnp.inf), descending=True)
     b = boxes[order]
     v = valid[order]
@@ -86,16 +134,16 @@ def nms_pallas_impl(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         b = jnp.concatenate([b, jnp.zeros((n_pad, 4), b.dtype)])
         v = jnp.concatenate([v, jnp.zeros((n_pad,), bool)])
     np_tot = n + n_pad
-    # [8, N] layout: coordinate/validity rows are lane-major vectors.
     data = jnp.zeros((8, np_tot), jnp.float32)
     data = data.at[0:4, :].set(b.astype(jnp.float32).T)
     data = data.at[4, :].set(v.astype(jnp.float32))
 
     keep_f = pl.pallas_call(
-        partial(_nms_kernel, iou_threshold=iou_threshold, n=n),
+        partial(_nms_kernel, iou_threshold=float(iou_threshold), tile=tile, cblk=cblk),
         out_shape=jax.ShapeDtypeStruct((1, np_tot), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.bool_)],
         interpret=interpret,
     )(data)
     keep_sorted = keep_f[0, :n] > 0.
@@ -104,4 +152,5 @@ def nms_pallas_impl(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     return out & valid
 
 
-nms_pallas = jax.jit(nms_pallas_impl, static_argnames=('iou_threshold', 'interpret'))
+nms_pallas = jax.jit(nms_pallas_impl,
+                     static_argnames=('iou_threshold', 'tile', 'cblk', 'interpret'))

@@ -501,6 +501,9 @@ class CPN:
             rng = jax.random.PRNGKey(0)
         x = jnp.zeros(input_shape, self.dtype)
         self.variables = self.core.init({'params': rng}, x, False)
+        if getattr(self, 'pretrained', False):
+            from ..util.pretrained import apply_pretrained_
+            apply_pretrained_(self, self.pretrained)
         return self.variables
 
     @property
@@ -668,8 +671,12 @@ def register_model(fn):
 def _make_cpn(backbone_fn, in_channels, backbone_kwargs=None, **kwargs):
     backbone_kwargs = backbone_kwargs or {}
     cpn_kwargs = {k: v for k, v in kwargs.items()}
+    # ImageNet init (parity: celldetection/models/resnet.py:15-25,236-262):
+    # recorded here, applied after `init()` creates the parameter tree.
+    pretrained = backbone_kwargs.pop('pretrained', False)
     backbone = backbone_fn(in_channels, 0, backbone_kwargs=backbone_kwargs)
     model = CPN(backbone=backbone, **cpn_kwargs)
+    model.pretrained = pretrained
     model.hparams.update(in_channels=in_channels, backbone_kwargs=backbone_kwargs)
     return model
 

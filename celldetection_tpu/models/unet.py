@@ -295,11 +295,20 @@ def ResUNet(in_channels, out_channels=0, final_activation=None, backbone_kwargs=
                               backbone_kwargs, **kwargs)
 
 
-def _backbone_unet(backbone_ctor):
-    """ResNet/ConvNeXt-style encoder (stride 4 start) + bridged UNet decoder."""
+def _backbone_unet(backbone_ctor, default_backbone_kwargs=None):
+    """Backbone encoder + bridged UNet decoder.
+
+    ResNet-family UNets default to ``fused_initial=False`` — the stem is its
+    own stride-2 feature level feeding the decoder, matching the reference's
+    ``_default_res_kwargs`` (``celldetection/models/unet.py:584-588``). This
+    is required for real reference checkpoints (e.g. the hosted ginoro model)
+    to import.
+    """
     def ctor(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None,
              pretrained=False, block_cls=None, **kwargs):
-        encoder = backbone_ctor(in_channels, **(backbone_kwargs or {}))
+        bk = dict(default_backbone_kwargs or {})
+        bk.update(backbone_kwargs or {})
+        encoder = backbone_ctor(in_channels, **bk)
         return UNet(
             body=encoder,
             in_channels_list=list(encoder.out_channels),
@@ -314,16 +323,17 @@ def _backbone_unet(backbone_ctor):
 
 from . import resnet as _resnet  # noqa: E402  (avoids circular import at module top)
 
-ResNet18UNet = _backbone_unet(_resnet.ResNet18)
-ResNet34UNet = _backbone_unet(_resnet.ResNet34)
-ResNet50UNet = _backbone_unet(_resnet.ResNet50)
-ResNet101UNet = _backbone_unet(_resnet.ResNet101)
-ResNet152UNet = _backbone_unet(_resnet.ResNet152)
-ResNeXt50UNet = _backbone_unet(_resnet.ResNeXt50)
-ResNeXt101UNet = _backbone_unet(_resnet.ResNeXt101)
-ResNeXt152UNet = _backbone_unet(_resnet.ResNeXt152)
-WideResNet50UNet = _backbone_unet(_resnet.WideResNet50)
-WideResNet101UNet = _backbone_unet(_resnet.WideResNet101)
+_RES_UNET_KW = dict(fused_initial=False)
+ResNet18UNet = _backbone_unet(_resnet.ResNet18, _RES_UNET_KW)
+ResNet34UNet = _backbone_unet(_resnet.ResNet34, _RES_UNET_KW)
+ResNet50UNet = _backbone_unet(_resnet.ResNet50, _RES_UNET_KW)
+ResNet101UNet = _backbone_unet(_resnet.ResNet101, _RES_UNET_KW)
+ResNet152UNet = _backbone_unet(_resnet.ResNet152, _RES_UNET_KW)
+ResNeXt50UNet = _backbone_unet(_resnet.ResNeXt50, _RES_UNET_KW)
+ResNeXt101UNet = _backbone_unet(_resnet.ResNeXt101, _RES_UNET_KW)
+ResNeXt152UNet = _backbone_unet(_resnet.ResNeXt152, _RES_UNET_KW)
+WideResNet50UNet = _backbone_unet(_resnet.WideResNet50, _RES_UNET_KW)
+WideResNet101UNet = _backbone_unet(_resnet.WideResNet101, _RES_UNET_KW)
 
 __all__ += ['ResNet18UNet', 'ResNet34UNet', 'ResNet50UNet', 'ResNet101UNet', 'ResNet152UNet',
             'ResNeXt50UNet', 'ResNeXt101UNet', 'ResNeXt152UNet', 'WideResNet50UNet',

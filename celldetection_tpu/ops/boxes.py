@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 __all__ = [
     'contours2boxes', 'box_area', 'box_iou', 'pairwise_box_iou', 'pairwise_generalized_box_iou',
-    'nms_padded', 'nms_indices', 'filter_by_box_voting', 'remove_small_boxes_mask',
+    'nms_padded', 'nms_chunked', 'nms_indices', 'filter_by_box_voting',
+    'remove_small_boxes_mask',
 ]
 
 
@@ -110,6 +111,11 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     n = boxes.shape[0]
     if n == 0:
         return jnp.zeros((0,), bool)
+    if _use_pallas_sweep(n):
+        # VMEM-resident Mosaic sweep: same keep set, 1.6-6.6x faster on
+        # TPU v5e for N in [8k, 131k] (see kernels/nms_pallas.py).
+        from ..kernels.nms_pallas import nms_pallas_impl
+        return nms_pallas_impl(boxes, scores, valid, iou_threshold)
     n_pad = (-n) % tile
     order = jnp.argsort(jnp.where(valid, scores, -jnp.inf), descending=True)
     if n_pad:
@@ -121,10 +127,44 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     v = valid[order_p]
     if n_pad:
         v = v & (jnp.arange(np_tot) < n)
-    keep = v
 
-    num_tiles = np_tot // tile
-    pos = jnp.arange(np_tot)
+    keep = _nms_sweep(b, v, iou_threshold, tile)
+    # Scatter back to original order.
+    out = jnp.zeros((n,), bool)
+    out = out.at[order_p[:np_tot]].max(keep)
+    return out & valid
+
+
+# Mosaic-sweep selection bounds: below MIN the dispatch-bound XLA path is
+# fine; above MAX the planar box table exceeds the VMEM budget (~16 MB).
+_PALLAS_NMS_MIN = 8192
+_PALLAS_NMS_MAX = 262144
+
+
+def _use_pallas_sweep(n: int) -> bool:
+    if not (_PALLAS_NMS_MIN <= n <= _PALLAS_NMS_MAX):
+        return False
+    try:
+        from ..kernels.nms_pallas import pallas_available
+        return pallas_available()
+    except Exception:
+        return False
+
+
+def _nms_sweep(b: jnp.ndarray, v: jnp.ndarray, iou_threshold: float, tile: int) -> jnp.ndarray:
+    """Blocked greedy suppression sweep over score-descending boxes.
+
+    Args:
+        b: ``Array[M, 4]`` boxes sorted by descending score, ``M % tile == 0``.
+        v: ``Array[M]`` bool validity.
+
+    Returns:
+        Keep mask ``Array[M]`` in the given (sorted) order.
+    """
+    m = b.shape[0]
+    keep = v
+    num_tiles = m // tile
+    pos = jnp.arange(m)
 
     def tile_body(i, keep):
         start = i * tile
@@ -140,15 +180,91 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         k = jax.lax.fori_loop(0, tile, inner, k)
         keep = jax.lax.dynamic_update_slice_in_dim(keep, k, start, 0)
         # Suppress all strictly-later boxes against this tile's kept rows.
-        iou_rn = box_iou(rows, b)                                        # [T, N]
+        iou_rn = box_iou(rows, b)                                        # [T, M]
         sup_any = jnp.any((iou_rn > iou_threshold) & k[:, None], 0)
         keep = keep & ~(sup_any & (pos >= start + tile))
         return keep
 
-    keep = jax.lax.fori_loop(0, num_tiles, tile_body, keep)
-    # Scatter back to original order.
+    return jax.lax.fori_loop(0, num_tiles, tile_body, keep)
+
+
+@partial(jax.jit, static_argnames=('iou_threshold', 'chunk', 'tile', 'survivors_cap'))
+def nms_chunked(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+                iou_threshold: float, chunk: int = 16384, tile: int = 256,
+                survivors_cap: int = None) -> jnp.ndarray:
+    """Hierarchical greedy NMS for very large N (cross-tile stitching scale).
+
+    Mirrors the reference's large-N strategy (chunked NMS + one final pass
+    over the survivors, ``celldetection/ops/cpn.py:189-227`` with
+    ``NMS_BATCH_SIZE=50000``) in a TPU-native form:
+
+      1. Sort all boxes globally by descending score.
+      2. Split into score-contiguous chunks of ``chunk`` and run the exact
+         blocked greedy sweep *in parallel over chunks* (``vmap``) — the
+         O(N²) pair work drops to O(N·chunk).
+      3. Compact the survivors (score-sorted) into a ``survivors_cap`` buffer
+         and run one final exact sweep across chunk boundaries.
+
+    Like the reference's chunked path, the result is exact greedy NMS within
+    each chunk and across the surviving set, but a box suppressed inside its
+    chunk cannot be "rescued" when its suppressor later loses the final pass
+    — an accepted approximation at this scale. For ``N <= chunk`` the result
+    equals :func:`nms_padded` exactly.
+
+    Args:
+        boxes / scores / valid: As in :func:`nms_padded`.
+        chunk: Chunk length (multiple of ``tile``).
+        tile: Block size of each suppression sweep.
+        survivors_cap: Static capacity of the final cross-chunk pass. Boxes
+            beyond the cap (lowest scores among survivors) are dropped
+            conservatively. Default: ``4 * chunk``.
+
+    Returns:
+        Bool keep mask ``Array[N]`` in the original box order.
+    """
+    n = boxes.shape[0]
+    if n <= chunk:
+        return nms_padded(boxes, scores, valid, iou_threshold, tile=tile)
+    if _use_pallas_sweep(n):
+        # Exact greedy via the Mosaic sweep beats the chunked approximation
+        # wherever the boxes fit in VMEM — no chunking needed up to ~262k.
+        from ..kernels.nms_pallas import nms_pallas_impl
+        return nms_pallas_impl(boxes, scores, valid, iou_threshold)
+    assert chunk % tile == 0, 'chunk must be a multiple of tile'
+    cap = survivors_cap or 4 * chunk
+    cap = min(cap, n)
+    cap += (-cap) % tile
+
+    order = jnp.argsort(jnp.where(valid, scores, -jnp.inf), descending=True)
+    n_pad = (-n) % chunk
+    if n_pad:
+        order_p = jnp.concatenate([order, jnp.zeros((n_pad,), order.dtype)])
+    else:
+        order_p = order
+    np_tot = n + n_pad
+    num_chunks = np_tot // chunk
+    b = boxes[order_p]
+    s = jnp.where(valid, scores, -jnp.inf)[order_p]
+    v = valid[order_p]
+    if n_pad:
+        v = v & (jnp.arange(np_tot) < n)
+
+    keep = jax.vmap(lambda bb, vv: _nms_sweep(bb, vv, iou_threshold, tile))(
+        b.reshape(num_chunks, chunk, 4), v.reshape(num_chunks, chunk))
+    keep = keep.reshape(-1)
+
+    # Final pass across chunk boundaries over the compacted survivors.
+    surv = jnp.argsort(jnp.where(keep, s, -jnp.inf), descending=True)[:cap]
+    sb = b[surv]
+    sv = keep[surv]
+    if _use_pallas_sweep(cap):
+        from ..kernels.nms_pallas import nms_pallas_impl
+        skeep = nms_pallas_impl(sb, s[surv], sv, iou_threshold)
+    else:
+        skeep = _nms_sweep(sb, sv, iou_threshold, tile)
+
     out = jnp.zeros((n,), bool)
-    out = out.at[order_p[:np_tot]].max(keep)
+    out = out.at[order_p[surv]].max(skeep)
     return out & valid
 
 

@@ -26,11 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import nms_padded
+from ..ops.boxes import nms_chunked, nms_padded
 from ..ops.cpn import remove_border_contours, filter_contours_by_stitching_rule
 from ..util.tiling import get_tiling_slices
 
-__all__ = ['TiledInference', 'tile_image', 'stitch_detections', 'tta_inference']
+__all__ = ['TiledInference', 'tile_image', 'stitch_detections', 'tta_inference',
+           'multihost_tiled_inference']
 
 
 def tile_image(image: np.ndarray, tile_size: int, stride: int):
@@ -94,14 +95,46 @@ def _stitch_filter(contours, offsets, overlaps, tile_size):
 
 
 def stitch_detections(det: dict, nms_thresh: float, max_outputs: Optional[int] = None,
-                      nms_tile: int = 256) -> dict:
-    """Cross-tile de-dup: flatten [T, K] → [T*K], one exact-greedy NMS pass."""
+                      nms_tile: int = 256, max_candidates: Optional[int] = None,
+                      nms_chunk: int = 16384) -> dict:
+    """Cross-tile de-dup: flatten ``[T, K]`` and greedy-NMS across tiles.
+
+    Scales to gigapixel mosaics (thousands of tiles → millions of padded
+    candidate rows) in two stages, mirroring the reference's chunked large-N
+    NMS (``celldetection/ops/cpn.py:189-227``):
+
+      1. **Compact before NMS** — the padded candidate set is mostly invalid
+         slots; if it exceeds ``max_candidates``, gather the top
+         ``max_candidates`` rows by (valid, score) into a dense buffer first.
+      2. **Chunked NMS** — above ``nms_chunk`` rows, use
+         :func:`..ops.boxes.nms_chunked` (vmapped per-chunk sweeps + one
+         cross-chunk pass) instead of the single O(N²) sweep.
+
+    Returns the flat dict with ``valid`` replaced by the NMS keep mask; a
+    ``num_pre_valid`` scalar records the pre-compaction valid count so
+    callers can flag overflow of ``max_candidates``.
+    """
     flat = {}
     t, k = det['valid'].shape
+    n = t * k
     for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier', 'valid'):
         v = det.get(key)
-        flat[key] = None if v is None else v.reshape((t * k,) + v.shape[2:])
-    keep = nms_padded(flat['boxes'], flat['scores'], flat['valid'], nms_thresh, tile=nms_tile)
+        flat[key] = None if v is None else v.reshape((n,) + v.shape[2:])
+    flat['num_pre_valid'] = flat['valid'].sum()
+    if max_candidates is not None and n > max_candidates:
+        order = jnp.argsort(jnp.where(flat['valid'], flat['scores'], -jnp.inf),
+                            descending=True)[:max_candidates]
+        for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier',
+                    'valid'):
+            if flat[key] is not None:
+                flat[key] = flat[key][order]
+        n = max_candidates
+    if n > nms_chunk:
+        keep = nms_chunked(flat['boxes'], flat['scores'], flat['valid'], nms_thresh,
+                           chunk=nms_chunk, tile=nms_tile)
+    else:
+        keep = nms_padded(flat['boxes'], flat['scores'], flat['valid'], nms_thresh,
+                          tile=nms_tile)
     flat['valid'] = keep
     return flat
 
@@ -135,13 +168,23 @@ def tta_inference(tiled: 'TiledInference', image: np.ndarray, reps: int = 4,
     merged = {k: [] for k in ('contours', 'boxes', 'scores', 'classes', 'locations',
                               'fourier')}
     total_tiles = 0
-    for fx, fy in variants:
-        img = image
+
+    def _flip(a, fx, fy):
+        if a is None:
+            return None
         if fx:
-            img = img[:, ::-1]
+            a = a[:, ::-1]
         if fy:
-            img = img[::-1]
-        res = tiled(np.ascontiguousarray(img), **kwargs)
+            a = a[::-1]
+        return np.ascontiguousarray(a)
+
+    for fx, fy in variants:
+        img = _flip(image, fx, fy)
+        kw = dict(kwargs)
+        for mk in ('mask', 'point_mask'):
+            if kw.get(mk) is not None:
+                kw[mk] = _flip(np.asarray(kw[mk]), fx, fy)
+        res = tiled(img, **kw)
         total_tiles += res.get('num_tiles', 0)
         cons, boxes, locs = res['contours'].copy(), res['boxes'].copy(), res['locations'].copy()
         if fx:
@@ -170,6 +213,81 @@ def tta_inference(tiled: 'TiledInference', image: np.ndarray, reps: int = 4,
     return out
 
 
+def multihost_tiled_inference(tiled: 'TiledInference', image: np.ndarray,
+                              score_thresh: Optional[float] = None) -> dict:
+    """Split ONE mosaic's tiles across JAX processes (multi-host).
+
+    TPU-native redesign of the reference's rank-split + ``oom_safe_gather``
+    (``cpn_inference.py:257-308,391-411``): tiles are assigned round-robin to
+    processes; each process runs its local-mesh tile forward, de-duplicates
+    and compacts its detections to a fixed ``[max_outputs]`` buffer; the
+    fixed-shape buffers are exchanged with ``process_allgather`` (DCN), and
+    every host runs the same final cross-process NMS — the result is
+    replicated instead of gathered to rank 0, so there is no single-host
+    memory hotspot and no special rank-0 code path.
+
+    Args:
+        tiled: A :class:`TiledInference` whose ``mesh`` (if any) spans only
+            LOCAL devices.
+        image: The full mosaic (every process passes the same array).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    p, r = jax.process_count(), jax.process_index()
+    if p == 1:
+        return tiled(image, score_thresh=score_thresh)
+    model = tiled.model
+    if tiled._fn is None:
+        tiled._build()
+    tiles, offsets, borders, overlaps, _ = tile_image(
+        np.asarray(image), tiled.tile_size, tiled.stride)
+    t = tiles.shape[0]
+    sel = np.arange(r, t, p)
+    if len(sel) == 0:  # more processes than tiles: contribute an empty buffer
+        sel = np.asarray([0])
+        empty = True
+    else:
+        empty = False
+    tiles_l = model.prepare_inputs(tiles[sel])
+    st = jnp.asarray(model.score_thresh if score_thresh is None else score_thresh,
+                     jnp.float32)
+    chunks = tiled._run_batches(model, tiles_l, offsets[sel], borders[sel],
+                                overlaps[sel], st, tiled.batch_size, None, None, False)
+    det = {k: (jnp.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None
+               else None) for k in chunks[0]}
+    if empty:
+        det['valid'] = jnp.zeros_like(det['valid'])
+    # local de-dup + compaction to a fixed-shape buffer for the exchange
+    flat = stitch_detections(det, model.nms_thresh, nms_tile=tiled.nms_tile,
+                             max_candidates=tiled.max_candidates,
+                             nms_chunk=tiled.nms_chunk)
+    local = compact_detections(flat, tiled.max_outputs)
+
+    keys = [k for k in ('contours', 'boxes', 'scores', 'classes', 'locations',
+                        'fourier', 'valid') if local.get(k) is not None]
+    gathered = {k: np.asarray(multihost_utils.process_allgather(np.asarray(local[k])))
+                for k in keys}
+    cat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in gathered.items()}
+
+    # replicated final cross-process NMS (deterministic → identical everywhere)
+    n = len(cat['boxes'])
+    if n > tiled.nms_chunk:
+        keep = nms_chunked(jnp.asarray(cat['boxes']), jnp.asarray(cat['scores']),
+                           jnp.asarray(cat['valid']), model.nms_thresh,
+                           chunk=tiled.nms_chunk, tile=tiled.nms_tile)
+    else:
+        keep = nms_padded(jnp.asarray(cat['boxes']), jnp.asarray(cat['scores']),
+                          jnp.asarray(cat['valid']), model.nms_thresh,
+                          tile=tiled.nms_tile)
+    keep = np.asarray(keep)
+    out = {k: cat[k][keep] for k in keys if k != 'valid'}
+    out['num_tiles'] = t
+    out['num_valid'] = int(keep.sum())
+    out['overflow'] = bool(np.asarray(local['num_valid']) > tiled.max_outputs)
+    return out
+
+
 class TiledInference:
     """Sliding-window CPN inference over arbitrarily large mosaics.
 
@@ -188,7 +306,8 @@ class TiledInference:
     def __init__(self, model, tile_size: int = 1024, stride: int = 768,
                  batch_size: Optional[int] = None, border_removal: int = 4,
                  stitching_rule: str = 'nms', mesh=None, nms_tile: int = 256,
-                 max_outputs: int = 100_000):
+                 max_outputs: int = 100_000, max_candidates: Optional[int] = None,
+                 nms_chunk: int = 16384):
         self.model = model
         self.tile_size = tile_size
         self.stride = stride
@@ -200,6 +319,11 @@ class TiledInference:
         assert self.batch_size % max(n_dev, 1) == 0
         self.nms_tile = nms_tile
         self.max_outputs = max_outputs
+        # NMS input cap: padded tile candidates are compacted (by score) to
+        # this many rows before the cross-tile NMS — gigapixel mosaics produce
+        # millions of padded slots of which only the valid few matter.
+        self.max_candidates = max_candidates or 4 * max_outputs
+        self.nms_chunk = nms_chunk
         self._fn = None
         self._stitch_fn = None
 
@@ -351,10 +475,14 @@ class TiledInference:
                    else None) for k in chunks[0]}
         if self._stitch_fn is None:
             nms_thresh, nms_tile, max_out = model.nms_thresh, self.nms_tile, self.max_outputs
+            max_cand, chunk = self.max_candidates, self.nms_chunk
 
             def _stitch(d):
-                flat = stitch_detections(d, nms_thresh, nms_tile=nms_tile)
-                return compact_detections(flat, max_out)
+                flat = stitch_detections(d, nms_thresh, nms_tile=nms_tile,
+                                         max_candidates=max_cand, nms_chunk=chunk)
+                out = compact_detections(flat, max_out)
+                out['num_pre_valid'] = flat['num_pre_valid']
+                return out
 
             self._stitch_fn = jax.jit(_stitch)
         compact = jax.device_get(self._stitch_fn(det))
@@ -365,5 +493,6 @@ class TiledInference:
             result[k] = None if v is None else v[valid]
         result['num_tiles'] = t
         result['num_valid'] = int(compact['num_valid'])
-        result['overflow'] = bool(compact['num_valid'] > self.max_outputs)
+        result['overflow'] = bool(compact['num_valid'] > self.max_outputs or
+                                  compact['num_pre_valid'] > self.max_candidates)
         return result

@@ -73,13 +73,19 @@ def resolve_model(model: Union[str, object], model_parameters: Optional[str] = N
     return model
 
 
-def _ensemble(tiled_list, img, mask, pmask, min_vote: int, nms_thresh: float) -> dict:
+def _ensemble(tiled_list, img, mask, pmask, min_vote: int, nms_thresh: float,
+              reps: int = 1) -> dict:
     """Multi-model ensemble: concat per-model detections, box voting, final NMS."""
     import jax
     import jax.numpy as jnp
     from ..ops.boxes import filter_by_box_voting, nms_padded
+    from ..parallel.tiles import tta_inference
 
-    results = [t(img, mask=mask, point_mask=pmask) for t in tiled_list]
+    if reps > 1:
+        results = [tta_inference(t, img, reps=reps, mask=mask, point_mask=pmask)
+                   for t in tiled_list]
+    else:
+        results = [t(img, mask=mask, point_mask=pmask) for t in tiled_list]
     keys = ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier')
     cat = {k: np.concatenate([r[k] for r in results]) for k in keys
            if results[0].get(k) is not None}
@@ -121,6 +127,7 @@ def cpn_inference(
         group_level: str = 'rank', model_parameters: Optional[str] = None,
         labels: bool = False, flat_labels: bool = False, properties: Optional[List[str]] = None,
         overlay: bool = False, demo_figure: bool = False, continue_on_exception: bool = False,
+        reps: int = 1,
         accelerator: Optional[str] = None, devices=None, num_nodes: int = 1,
 ):
     """Run tiled CPN inference on large input images.
@@ -139,6 +146,12 @@ def cpn_inference(
         labels / flat_labels: Also write (channelled / flattened) label images.
         properties: Region properties to export as CSV.
         overlay: Write an RGBA overlay image.
+        reps: Test-time augmentation repetitions over flips (1-4; parity:
+            TileLoader ``reps``, ``cpn_inference.py:112-118``).
+        accelerator: 'tpu'/'auto'/None accepted (TPU-native build); anything
+            else raises — there is no CPU/GPU backend here.
+        devices: Optionally cap the number of local devices in the mesh.
+        num_nodes: Expected process count (validated against the runtime).
 
     Returns:
         List of per-input result dicts.
@@ -168,8 +181,19 @@ def cpn_inference(
             m._jit_cache.clear()
     model = model_list[0]
 
+    if accelerator not in (None, 'auto', 'tpu'):
+        raise ValueError(f"accelerator={accelerator!r}: this build runs on TPU "
+                         f"(or the CPU platform JAX exposes); use 'tpu'/'auto'")
+    import jax
+    if num_nodes not in (1, jax.process_count()):
+        raise ValueError(f'num_nodes={num_nodes} but jax.process_count()='
+                         f'{jax.process_count()} — start one process per node '
+                         f'(jax.distributed.initialize)')
     try:
-        mesh = make_mesh()
+        local = jax.local_devices()
+        if devices:
+            local = local[:int(devices)]
+        mesh = make_mesh((len(local),), ('data',), devices=local)
     except Exception:
         mesh = None
     tiled_list = [TiledInference(m, tile_size=tile_size, stride=stride,
@@ -202,12 +226,29 @@ def cpn_inference(
                              brightness=brightness, to_rgb=to_rgb)
             mask = load_image(mask_list[src_idx]) if mask_list else None
             pmask = load_image(point_list[src_idx]) if point_list else None
+            multi = (jax.process_count() > 1 and group_level == 'job'
+                     and mask is None and pmask is None and reps == 1)
             if len(tiled_list) == 1:
-                res = tiled(img, mask=mask, point_mask=pmask)
+                if multi:
+                    # all processes on this input: split its tiles across
+                    # processes (parity: cpn_inference.py:257-308)
+                    from ..parallel.tiles import multihost_tiled_inference
+                    res = multihost_tiled_inference(tiled, img)
+                elif reps > 1:
+                    from ..parallel.tiles import tta_inference
+                    res = tta_inference(tiled, img, reps=reps, mask=mask,
+                                        point_mask=pmask)
+                else:
+                    res = tiled(img, mask=mask, point_mask=pmask)
             else:
                 res = _ensemble(tiled_list, img, mask, pmask, min_vote,
-                                model.nms_thresh)
+                                model.nms_thresh, reps=reps)
             h, w = img.shape[:2]
+            if multi and jax.process_index() != 0:
+                # replicated result; one writer per input (parity: rank 0
+                # writes, cpn_inference.py:798-863)
+                results.append(res)
+                continue
             out_fn = os.path.join(outputs, f'{name}.h5')
             to_h5(out_fn,
                   contours=res['contours'], scores=res['scores'], boxes=res['boxes'],
@@ -282,6 +323,11 @@ def main():
     p.add_argument('--overlay', action='store_true')
     p.add_argument('--demo_figure', action='store_true')
     p.add_argument('--continue_on_exception', action='store_true')
+    p.add_argument('--reps', type=int, default=1,
+                   help='Test-time augmentation over flips (1-4)')
+    p.add_argument('--accelerator', default=None)
+    p.add_argument('--devices', type=int, default=None)
+    p.add_argument('--num_nodes', type=int, default=1)
     args = vars(p.parse_args())
     cpn_inference(**{k: v for k, v in args.items()})
 

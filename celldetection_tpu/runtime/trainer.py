@@ -123,6 +123,7 @@ class CPNTrainer:
         item_seen = np.zeros(n, bool)
         pool = ThreadPoolExecutor(max_workers=max(prefetch, 1))
         for epoch in range(epochs):
+            self.item_record = {}  # per-epoch item records (lightning_base.py:311)
             if adaptive_sampling and item_seen.all():
                 w = np.power(np.maximum(item_loss, 1e-8), sampling_alpha)
                 w = w / w.sum()
@@ -131,17 +132,25 @@ class CPNTrainer:
                 order_idx = np.arange(n)
                 rng_np.shuffle(order_idx)
             t0 = time.time()
-            starts = list(range(0, n - batch_size + 1, batch_size))
+            # Trailing partial batch: wrap-pad with the epoch's leading items
+            # (static batch shape on TPU; the reference's DataLoader keeps the
+            # partial batch, drop-last would silently skip items).
+            if n % batch_size:
+                pad = batch_size - n % batch_size
+                epoch_idx = np.concatenate([order_idx, order_idx[:pad]])
+            else:
+                epoch_idx = order_idx
+            starts = list(range(0, len(epoch_idx), batch_size))
             batch_rngs = [np.random.RandomState(rng_np.randint(2 ** 31)) for _ in starts]
 
             def submit(j):
                 return pool.submit(self._make_batch, train_data,
-                                   order_idx[starts[j]:starts[j] + batch_size],
+                                   epoch_idx[starts[j]:starts[j] + batch_size],
                                    samples, order, max_instances, batch_rngs[j])
 
             window = {j: submit(j) for j in range(min(prefetch, len(starts)))}
             for bi, start in enumerate(starts):
-                idx = order_idx[start:start + batch_size]
+                idx = epoch_idx[start:start + batch_size]
                 batch = window.pop(bi).result()
                 nxt = bi + prefetch
                 if nxt < len(starts):
@@ -151,12 +160,11 @@ class CPNTrainer:
                 loss = float(metrics['loss'])
                 self._ema_loss = loss if self._ema_loss is None else \
                     self.ema_decay * self._ema_loss + (1 - self.ema_decay) * loss
-                # per-item loss record (batch loss attributed to its items)
+                # per-item record: batch loss attributed to its items (exact
+                # parity with training_item_record, lightning_base.py:258-275)
                 for i in idx:
-                    prev = item_loss[int(i)]
-                    item_loss[int(i)] = loss if not item_seen[int(i)] else \
-                        0.5 * prev + 0.5 * loss
-                    item_seen[int(i)] = True
+                    self.item_record.setdefault(int(i), []).append(
+                        {'batch_loss': loss})
                 if self.metrics_logger is not None:
                     self.metrics_logger.log(self.state.step, loss=loss,
                                             ema_loss=self._ema_loss,
@@ -164,6 +172,15 @@ class CPNTrainer:
                                                if k != 'loss'})
                 if self.log_figures_every and self.state.step % self.log_figures_every == 0:
                     self._log_contour_figure(batch['image'][:1])
+            # Epoch-end: merge item records (cross-process when multi-host)
+            # into the adaptive-sampling loss table (lightning_base.py:322-371).
+            for i, recs in self.gather_item_records().items():
+                if i >= n:
+                    continue
+                mean_loss = float(np.mean([r['batch_loss'] for r in recs]))
+                item_loss[i] = mean_loss if not item_seen[i] else \
+                    0.5 * item_loss[i] + 0.5 * mean_loss
+                item_seen[i] = True
             self.log_fn(f'epoch {epoch}: loss={loss:.4f} ema={self._ema_loss:.4f} '
                         f'({time.time() - t0:.1f}s)')
             self.history.append({'epoch': epoch, 'loss': loss, 'ema_loss': self._ema_loss})
@@ -174,6 +191,31 @@ class CPNTrainer:
         pool.shutdown(wait=False)
         self.model.variables = self.state.variables()
         return self.history
+
+    def gather_item_records(self) -> Dict[int, list]:
+        """Merge per-item training records across processes.
+
+        Parity: ``gather_item_records`` (``lightning_base.py:322-336``), which
+        uses ``all_gather_object``. Here the ragged records serialize to
+        padded (index, loss) arrays exchanged via ``process_allgather``.
+        """
+        record = getattr(self, 'item_record', {})
+        if jax.process_count() <= 1:
+            return record
+        from jax.experimental import multihost_utils
+        keys = np.array([k for k, v in record.items() for _ in v], np.int32)
+        vals = np.array([r['batch_loss'] for v in record.values() for r in v],
+                        np.float32)
+        n_all = multihost_utils.process_allgather(np.array([len(keys)], np.int32))
+        m = int(np.max(n_all))
+        keys_all = multihost_utils.process_allgather(
+            np.pad(keys, (0, m - len(keys)), constant_values=-1))
+        vals_all = multihost_utils.process_allgather(np.pad(vals, (0, m - len(vals))))
+        merged: Dict[int, list] = {}
+        for k, v in zip(np.asarray(keys_all).reshape(-1), np.asarray(vals_all).reshape(-1)):
+            if k >= 0:
+                merged.setdefault(int(k), []).append({'batch_loss': float(v)})
+        return merged
 
     # --- validation sweep + calibration ------------------------------------
 

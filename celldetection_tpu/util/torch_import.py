@@ -98,15 +98,35 @@ def _translate_resnet_stage(out, base: Tuple[str, ...], layer_name: str, rest: s
             _emit_norm(out, path + ('downsample_norm',), m3.group(2), v)
 
 
-def translate_cpn_state_dict(state_dict: Dict[str, np.ndarray], fused_initial: bool = True,
-                             encoder: str = 'resnet') -> Dict[Tuple, np.ndarray]:
+def detect_encoder_layout(state_dict) -> Tuple[str, bool]:
+    """Infer ``(encoder, fused_initial)`` from torch-layout keys.
+
+    A ResNet body contains ``convN``/``bnN`` leaf names; a fused stem puts
+    layer1 at ``body.0.4`` while the reference's UNet/FPN default
+    (``fused_initial=False``) puts it under ``body.1.1``.
+    """
+    body = [re.sub(r'^(core\.)?backbone\.body\.', '', k) for k in state_dict
+            if re.match(r'(core\.)?backbone\.body\.', k)]
+    encoder = 'resnet' if any('.conv1.' in k or '.bn1.' in k or 'downsample' in k
+                              for k in body) else 'unet'
+    fused = any(k.startswith('0.4.') for k in body)
+    return encoder, fused
+
+
+def translate_cpn_state_dict(state_dict: Dict[str, np.ndarray], fused_initial: bool = None,
+                             encoder: str = None) -> Dict[Tuple, np.ndarray]:
     """Torch CPN state dict → flat ``{(collection, path): array}``.
 
     Args:
         state_dict: Torch-layout keys (reference module naming).
-        fused_initial: ResNet stem fused into stage 0 (UNet backbones).
+        fused_initial: ResNet stem fused into stage 0. Default: auto-detect.
         encoder: 'resnet' (BackboneAsUNet over ResNet) or 'unet' (UNetEncoder).
+            Default: auto-detect.
     """
+    if encoder is None or fused_initial is None:
+        det_encoder, det_fused = detect_encoder_layout(state_dict)
+        encoder = det_encoder if encoder is None else encoder
+        fused_initial = det_fused if fused_initial is None else fused_initial
     out: Dict[Tuple, np.ndarray] = {}
     for key, v in state_dict.items():
         v = np.asarray(v)
@@ -375,10 +395,7 @@ def load_torch_cd_model(filename: str, input_shape=None, **overrides):
     input_shape = input_shape or (1, 128, 128, in_channels)
     model.init(input_shape=tuple(input_shape))
 
-    encoder = 'unet' if 'U22' in model_name or 'U17' in model_name or 'U12' in model_name \
-        or 'ResUNet' in model_name else 'resnet'
-    fused_initial = 'FPN' not in model_name
     sd = {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v) for k, v in state_dict.items()}
-    flat = translate_cpn_state_dict(sd, fused_initial=fused_initial, encoder=encoder)
+    flat = translate_cpn_state_dict(sd)  # encoder layout auto-detected from keys
     model.variables = import_state_dict(model.variables, flat)
     return model

@@ -1,0 +1,113 @@
+"""Gigapixel-scale stitching: chunked NMS + compact-before-NMS.
+
+Covers VERDICT round-1 item 7: the cross-tile stitch must handle mosaics
+whose padded candidate set reaches millions of rows (reference chunks NMS at
+50k boxes, ``celldetection/ops/cpn.py:12,189-227``).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from celldetection_tpu.ops.boxes import box_iou, nms_chunked, nms_padded
+from celldetection_tpu.parallel.tiles import compact_detections, stitch_detections
+
+
+def _random_boxes(rng, n, span=10_000.0, size=(4.0, 24.0)):
+    xy = rng.rand(n, 2).astype(np.float32) * span
+    wh = (rng.rand(n, 2) * (size[1] - size[0]) + size[0]).astype(np.float32)
+    return np.concatenate([xy, xy + wh], -1)
+
+
+def test_nms_chunked_equals_padded_when_single_chunk():
+    rng = np.random.RandomState(0)
+    boxes = _random_boxes(rng, 500, span=300.0)
+    scores = rng.rand(500).astype(np.float32)
+    valid = rng.rand(500) > 0.2
+    a = np.asarray(nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.asarray(valid), 0.3, tile=128))
+    b = np.asarray(nms_chunked(jnp.asarray(boxes), jnp.asarray(scores),
+                               jnp.asarray(valid), 0.3, chunk=1024, tile=128))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nms_chunked_large_matches_exact_closely():
+    """Chunked vs exact greedy on 24k crowded boxes: identical survivor
+    invariant (no overlapping pair above thresh) and near-identical count."""
+    rng = np.random.RandomState(1)
+    n = 24_576
+    boxes = _random_boxes(rng, n, span=2_000.0)  # heavy overlap
+    scores = rng.rand(n).astype(np.float32)
+    valid = np.ones(n, bool)
+    thresh = 0.3
+    exact = np.asarray(nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(valid), thresh, tile=256))
+    chunked = np.asarray(nms_chunked(jnp.asarray(boxes), jnp.asarray(scores),
+                                     jnp.asarray(valid), thresh,
+                                     chunk=4096, tile=256, survivors_cap=n))
+    # survivors must be mutually non-suppressing
+    surv = np.where(chunked)[0]
+    iou = np.array(box_iou(jnp.asarray(boxes[surv]), jnp.asarray(boxes[surv])))
+    np.fill_diagonal(iou, 0.0)
+    assert iou.max() <= thresh + 1e-6
+    # and the keep count stays close to exact greedy (chunked greedy cannot
+    # rescue a box whose suppressor later loses the final pass — the same
+    # approximation the reference accepts at NMS_BATCH_SIZE chunking; this
+    # adversarially crowded random set is the worst case, real cross-tile
+    # duplicates have IoU ≈ 1 and are unaffected)
+    ne, nc = exact.sum(), chunked.sum()
+    assert abs(int(ne) - int(nc)) <= max(1, int(0.05 * ne)), (ne, nc)
+
+
+def test_stitch_half_million_padded_candidates():
+    """[T=256, K=2048] = 524,288 padded rows; ~24k valid with cross-tile
+    duplicates. Compact-before-NMS + chunked NMS dedups in bounded memory."""
+    rng = np.random.RandomState(2)
+    t_tiles, k = 256, 2048
+    n_objects = 12_000
+    # non-overlapping grid placement: distinct objects never suppress each
+    # other, so NMS must remove exactly the cross-tile duplicates
+    side = 160
+    cells = rng.permutation(side * side)[:n_objects]
+    gx, gy = (cells % side).astype(np.float32), (cells // side).astype(np.float32)
+    xy = np.stack([gx, gy], -1) * 50.0 + rng.rand(n_objects, 2).astype(np.float32) * 8.0
+    wh = (rng.rand(n_objects, 2) * 12 + 8).astype(np.float32)
+    centers = np.concatenate([xy, xy + wh], -1)
+
+    boxes = np.zeros((t_tiles, k, 4), np.float32)
+    scores = np.zeros((t_tiles, k), np.float32)
+    valid = np.zeros((t_tiles, k), bool)
+    contours = np.zeros((t_tiles, k, 8, 2), np.float32)
+
+    # each object lands in exactly two tiles (simulated overlap duplication)
+    slot = np.zeros(t_tiles, int)
+    for i in range(n_objects):
+        for copy in range(2):
+            ti = int(rng.randint(t_tiles)) if copy else i % t_tiles
+            j = slot[ti]
+            if j >= k:
+                continue
+            boxes[ti, j] = centers[i]
+            scores[ti, j] = 0.5 + 0.4 * rng.rand() + 0.05 * copy
+            valid[ti, j] = True
+            slot[ti] += 1
+    n_valid = int(valid.sum())
+    assert n_valid > 20_000
+
+    det = {
+        'boxes': jnp.asarray(boxes), 'scores': jnp.asarray(scores),
+        'valid': jnp.asarray(valid), 'contours': jnp.asarray(contours),
+        'classes': jnp.asarray(np.ones((t_tiles, k), np.int32)),
+        'locations': jnp.asarray(np.zeros((t_tiles, k, 2), np.float32)),
+        'fourier': None,
+    }
+    flat = stitch_detections(det, nms_thresh=0.5, max_candidates=65_536,
+                             nms_chunk=8_192, nms_tile=256)
+    assert int(flat['num_pre_valid']) == n_valid
+    out = compact_detections(flat, 32_768)
+    kept = int(out['num_valid'])
+    # every object had >= 1 copy; duplicates (identical boxes, IoU 1.0) must
+    # be collapsed to exactly one survivor per object
+    placed = np.unique(boxes[valid].round(3), axis=0)
+    assert kept == len(placed), (kept, len(placed))
+    # survivors are the higher-scoring copies, in score-sorted compacted order
+    s = np.asarray(out['scores'])[np.asarray(out['valid'])]
+    assert (np.diff(s) <= 1e-6).all()
