@@ -325,8 +325,18 @@ def draw_contours(canvas, contours, val=(51, 255, 51), round=True, contour_idx=-
     return cv2.drawContours(canvas, contours, contour_idx, val, thickness, **kwargs)
 
 
-def contours2overlay(contours, size, colors=None, thickness=-1, rounded=True, clip=True, seed=None):
-    """RGBA instance overlay from contours (random HSV colors)."""
+def contours2overlay(contours, size, colors=None, thickness=-1, rounded=True, clip=True,
+                     seed=None, processes: int = None):
+    """RGBA instance overlay from contours (random HSV colors).
+
+    For gigapixel outputs pass ``processes`` > 1: the canvas is allocated in
+    shared memory and contour chunks render in parallel worker processes
+    (behavior parity with the reference's shared-memory multiprocess renderer
+    for 5.6M-contour mosaics, ``celldetection/data/cpn.py:726-855``).
+    """
+    if processes and processes > 1 and contours is not None and len(contours) > 256:
+        return _contours2overlay_mp(contours, size, thickness=thickness, rounded=rounded,
+                                    clip=clip, seed=seed, processes=processes)
     rng = np.random.RandomState(seed)
     overlay = np.zeros(tuple(size) + (4,), dtype=np.uint8)
     if contours is None or len(contours) == 0:
@@ -346,6 +356,66 @@ def contours2overlay(contours, size, colors=None, thickness=-1, rounded=True, cl
         m = m[:region.shape[0], :region.shape[1]]
         region[m] = tuple(int(v) for v in rgb) + (255,)
     return overlay
+
+
+_MP_OVERLAY = {}
+
+
+def _overlay_worker_init(shm_name, shape):
+    from multiprocessing import shared_memory
+    shm = shared_memory.SharedMemory(name=shm_name)
+    _MP_OVERLAY['shm'] = shm  # keep alive for the worker's lifetime
+    _MP_OVERLAY['canvas'] = np.ndarray(shape, dtype=np.uint8, buffer=shm.buf)
+
+
+def _overlay_worker(args):
+    chunk, seeds, size, thickness, rounded, clip = args
+    canvas = _MP_OVERLAY['canvas']
+    for contour, seed_i in zip(chunk, seeds):
+        rng = np.random.RandomState(seed_i)
+        contour = np.array(contour, dtype=float)
+        if rounded:
+            contour = np.round(contour)
+        if clip:
+            clip_contour_(contour, np.array(size) - 1)
+        hsv = np.uint8([[[rng.randint(0, 180), rng.randint(60, 256), rng.randint(128, 256)]]])
+        rgb = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)[0, 0]
+        a, (xmin, _), (ymin, _) = render_contour(contour, val=1, dtype='uint8',
+                                                 thickness=thickness)
+        sl = np.s_[ymin:ymin + a.shape[0], xmin:xmin + a.shape[1]]
+        m = a > 0
+        region = canvas[sl]
+        m = m[:region.shape[0], :region.shape[1]]
+        region[m] = tuple(int(v) for v in rgb) + (255,)
+    return len(chunk)
+
+
+def _contours2overlay_mp(contours, size, thickness=-1, rounded=True, clip=True,
+                         seed=None, processes=4):
+    """Parallel overlay render: shared-memory canvas + contour-chunk workers.
+
+    Workers write disjoint pixels except where instances overlap (last-wins,
+    like the sequential renderer's draw order up to chunk scheduling).
+    """
+    from multiprocessing import Pool, shared_memory
+    shape = tuple(size) + (4,)
+    shm = shared_memory.SharedMemory(create=True, size=int(np.prod(shape)))
+    try:
+        canvas = np.ndarray(shape, dtype=np.uint8, buffer=shm.buf)
+        canvas[:] = 0
+        rng = np.random.RandomState(seed)
+        seeds = rng.randint(0, 2 ** 31, size=len(contours))
+        n_chunks = min(processes * 4, max(len(contours) // 64, 1))
+        chunk_ids = np.array_split(np.arange(len(contours)), n_chunks)
+        jobs = [([contours[i] for i in ids], seeds[ids], size, thickness, rounded, clip)
+                for ids in chunk_ids if len(ids)]
+        with Pool(processes, initializer=_overlay_worker_init,
+                  initargs=(shm.name, shape)) as pool:
+            pool.map(_overlay_worker, jobs)
+        return canvas.copy()
+    finally:
+        shm.close()
+        shm.unlink()
 
 
 def mask_labels_by_distance_(labels: np.ndarray, distances: np.ndarray, max_bg_dist: float,

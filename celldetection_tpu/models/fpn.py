@@ -40,14 +40,15 @@ class FeaturePyramidNetwork(nn.Module):
         for i in range(n - 2, -1, -1):
             inner = ConvNorm(self.out_channels, kernel_size=1, padding=0,
                              norm_layer=self.norm_layer, name=f'inner{i}')(feats[i], train)
-            top_down = resize_nearest(last_inner, inner.shape[1:3])
+            top_down = resize_nearest(last_inner, inner.shape[1:-1])
             last_inner = inner + top_down
             results.insert(0, ConvNorm(self.out_channels, kernel_size=3,
                                        norm_layer=self.norm_layer,
                                        name=f'layer{i}')(last_inner, train))
         out = {k: v for k, v in zip(names, results)}
         if self.extra_maxpool:
-            out['pool'] = nn.max_pool(results[-1], (1, 1), strides=(2, 2))
+            nd = results[-1].ndim - 2
+            out['pool'] = nn.max_pool(results[-1], (1,) * nd, strides=(2,) * nd)
         return out
 
 

@@ -37,16 +37,17 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2  # spatial rank inferred from input (2D or 3D)
         ks = self.kernel_size
         identity = x
-        out = nn.Conv(self.planes, (ks, ks), strides=(self.stride,) * 2,
+        out = nn.Conv(self.planes, (ks,) * nd, strides=(self.stride,) * nd,
                       padding=(ks - 1) // 2, use_bias=False, name='conv1')(x)
         out = Norm(self.norm_layer, name='bn1')(out, train)
         out = jax.nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name='conv2')(out)
+        out = nn.Conv(self.planes, (3,) * nd, padding=1, use_bias=False, name='conv2')(out)
         out = Norm(self.norm_layer, name='bn2')(out, train)
         if self.has_downsample:
-            identity = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+            identity = nn.Conv(self.planes, (1,) * nd, strides=(self.stride,) * nd,
                                use_bias=False, name='downsample_conv')(x)
             identity = Norm(self.norm_layer, name='downsample_norm')(identity, train)
         return jax.nn.relu(out + identity)
@@ -65,21 +66,22 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
         width = int(self.planes * (self.base_width / 64.)) * self.groups
         out_c = self.planes * self.expansion
         ks = self.kernel_size
         identity = x
-        out = nn.Conv(width, (1, 1), use_bias=False, name='conv1')(x)
+        out = nn.Conv(width, (1,) * nd, use_bias=False, name='conv1')(x)
         out = Norm(self.norm_layer, name='bn1')(out, train)
         out = jax.nn.relu(out)
-        out = nn.Conv(width, (ks, ks), strides=(self.stride,) * 2, padding=(ks - 1) // 2,
+        out = nn.Conv(width, (ks,) * nd, strides=(self.stride,) * nd, padding=(ks - 1) // 2,
                       feature_group_count=self.groups, use_bias=False, name='conv2')(out)
         out = Norm(self.norm_layer, name='bn2')(out, train)
         out = jax.nn.relu(out)
-        out = nn.Conv(out_c, (1, 1), use_bias=False, name='conv3')(out)
+        out = nn.Conv(out_c, (1,) * nd, use_bias=False, name='conv3')(out)
         out = Norm(self.norm_layer, name='bn3')(out, train)
         if self.has_downsample:
-            identity = nn.Conv(out_c, (1, 1), strides=(self.stride,) * 2,
+            identity = nn.Conv(out_c, (1,) * nd, strides=(self.stride,) * nd,
                                use_bias=False, name='downsample_conv')(x)
             identity = Norm(self.norm_layer, name='downsample_norm')(identity, train)
         return jax.nn.relu(out + identity)
@@ -156,8 +158,9 @@ class ResNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2  # spatial rank inferred from input (2D or 3D)
         block = Bottleneck if self.bottleneck else BasicBlock
-        x = nn.Conv(self.base_channel, (7, 7), strides=(self.initial_strides,) * 2,
+        x = nn.Conv(self.base_channel, (7,) * nd, strides=(self.initial_strides,) * nd,
                     padding=3, use_bias=False, name='conv1')(x)
         x = Norm(self.norm_layer, name='bn1')(x, train)
         x = jax.nn.relu(x)
@@ -167,7 +170,7 @@ class ResNetEncoder(nn.Module):
             features[str(idx)] = x
             idx += 1
         if self.initial_pooling:
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            x = nn.max_pool(x, (3,) * nd, strides=(2,) * nd, padding=((1, 1),) * nd)
         for i, blocks in enumerate(self.layers):
             x = _ResLayer(block=block, planes=self.base_channel * (2 ** i), blocks=blocks,
                           stride=1 if i == 0 else 2, groups=self.groups,

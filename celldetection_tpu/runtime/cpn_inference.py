@@ -126,7 +126,8 @@ def cpn_inference(
         gamma: float = 1., contrast: float = 1., brightness: float = 0.,
         group_level: str = 'rank', model_parameters: Optional[str] = None,
         labels: bool = False, flat_labels: bool = False, properties: Optional[List[str]] = None,
-        overlay: bool = False, demo_figure: bool = False, continue_on_exception: bool = False,
+        overlay: bool = False, overlay_processes: int = None,
+        demo_figure: bool = False, continue_on_exception: bool = False,
         reps: int = 1,
         accelerator: Optional[str] = None, devices=None, num_nodes: int = 1,
 ):
@@ -273,7 +274,8 @@ def cpn_inference(
                         pd.DataFrame(rows, columns=properties).to_csv(
                             os.path.join(outputs, f'{name}.csv'), index=False)
             if overlay:
-                ov = contours2overlay(res['contours'], (h, w))
+                ov = contours2overlay(res['contours'], (h, w),
+                                      processes=overlay_processes)
                 from ..util.io import to_tiff
                 to_tiff(os.path.join(outputs, f'{name}_overlay.tiff'), ov)
             if demo_figure:
@@ -321,6 +323,8 @@ def main():
     p.add_argument('--flat_labels', action='store_true')
     p.add_argument('-p', '--properties', nargs='*', default=None)
     p.add_argument('--overlay', action='store_true')
+    p.add_argument('--overlay_processes', type=int, default=None,
+                   help='Parallel overlay rendering processes (gigapixel outputs)')
     p.add_argument('--demo_figure', action='store_true')
     p.add_argument('--continue_on_exception', action='store_true')
     p.add_argument('--reps', type=int, default=1,

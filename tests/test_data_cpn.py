@@ -155,3 +155,23 @@ def test_universal_dict_collate_fn():
 def test_rle2mask():
     mask = data.rle2mask([1, 3, 10, 2], (4, 4))
     assert mask.sum() == 5
+
+
+def test_contours2overlay_multiprocess_matches_sequential_coverage():
+    """The shared-memory parallel renderer covers exactly the same pixels as
+    the sequential path (colors are per-contour random, so compare alpha)."""
+    import numpy as np
+    from celldetection_tpu.data.cpn import contours2overlay
+
+    rng = np.random.RandomState(0)
+    contours = []
+    for _ in range(300):
+        c = rng.rand(2) * 220 + 18
+        r = rng.rand() * 10 + 3
+        t = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+        contours.append(np.stack([c[0] + r * np.cos(t), c[1] + r * np.sin(t)], -1))
+
+    seq = contours2overlay(contours, (256, 256), seed=0)
+    par = contours2overlay(contours, (256, 256), seed=0, processes=3)
+    np.testing.assert_array_equal(seq[..., 3] > 0, par[..., 3] > 0)
+    assert (par[..., 3] > 0).sum() > 1000

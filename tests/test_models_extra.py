@@ -236,3 +236,21 @@ def test_replay_cache():
     assert len(rc) == 4
     batch = rc(2)
     assert batch.shape == (2, 2, 2)
+
+
+def test_resnet_unet_fpn_3d_forward():
+    """nd=3 support for ResNet encoders + UNet/FPN decoders (parity with the
+    reference's nd-generalized backbones, celldetection/models/resnet.py)."""
+    from celldetection_tpu.models import fpn as fpn_lib
+    from celldetection_tpu.models import unet as unet_lib
+
+    x3 = jnp.zeros((1, 16, 16, 16, 1))
+    m = unet_lib.ResNet18UNet(1, out_channels=4)
+    v = m.init(jax.random.PRNGKey(0), x3, False)
+    assert m.apply(v, x3, False).shape == (1, 16, 16, 16, 4)
+
+    f = fpn_lib.ResNet18FPN(1)
+    v = f.init(jax.random.PRNGKey(0), x3, False)
+    feats = f.apply(v, x3, False)
+    assert feats['0'].shape == (1, 8, 8, 8, 256)
+    assert feats['pool'].shape[1:4] == (1, 1, 1)
