@@ -30,7 +30,8 @@ class GRN(nn.Module):
         c = x.shape[-1]
         gamma = self.param('gamma', nn.initializers.zeros, (c,))
         beta = self.param('beta', nn.initializers.zeros, (c,))
-        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True))
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=spatial_axes, keepdims=True))
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.epsilon)
         return gamma * (x * nx) + beta + x
 
@@ -45,8 +46,9 @@ class CNBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
+        nd = x.ndim - 2
         ks = self.kernel_size
-        out = nn.Conv(c, (ks, ks), padding=ks // 2, feature_group_count=c, name='dwconv')(x)
+        out = nn.Conv(c, (ks,) * nd, padding=ks // 2, feature_group_count=c, name='dwconv')(x)
         out = nn.LayerNorm(epsilon=1e-6, name='norm')(out)
         out = nn.Dense(4 * c, name='mlp0')(out)
         out = jax.nn.gelu(out, approximate=False)
@@ -105,7 +107,8 @@ class ConvNeXtEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         total = sum(self.depths)
         sid = 0
-        x = nn.Conv(self.channels[0], (4, 4), strides=(4, 4), name='stem_conv')(x)
+        nd = x.ndim - 2
+        x = nn.Conv(self.channels[0], (4,) * nd, strides=(4,) * nd, name='stem_conv')(x)
         x = nn.LayerNorm(epsilon=1e-6, name='stem_norm')(x)
         features = {}
         idx = 0
@@ -115,7 +118,7 @@ class ConvNeXtEncoder(nn.Module):
         for i, (depth, ch) in enumerate(zip(self.depths, self.channels)):
             if i > 0:
                 x = nn.LayerNorm(epsilon=1e-6, name=f'down{i}_norm')(x)
-                x = nn.Conv(ch, (2, 2), strides=(2, 2), name=f'down{i}_conv')(x)
+                x = nn.Conv(ch, (2,) * nd, strides=(2,) * nd, name=f'down{i}_conv')(x)
             for j in range(depth):
                 sd = self.stochastic_depth_prob * sid / max(total - 1., 1.)
                 ls = None if self.v2 else self.layer_scale

@@ -21,12 +21,14 @@ class _DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
         out = Norm('batchnorm2d', name='norm1')(x, train)
         out = jax.nn.relu(out)
-        out = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False, name='conv1')(out)
+        out = nn.Conv(self.bn_size * self.growth_rate, (1,) * nd, use_bias=False,
+                      name='conv1')(out)
         out = Norm('batchnorm2d', name='norm2')(out, train)
         out = jax.nn.relu(out)
-        out = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False, name='conv2')(out)
+        out = nn.Conv(self.growth_rate, (3,) * nd, padding=1, use_bias=False, name='conv2')(out)
         return jnp.concatenate([x, out], -1)
 
 
@@ -47,10 +49,11 @@ class _Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
         x = Norm('batchnorm2d', name='norm')(x, train)
         x = jax.nn.relu(x)
-        x = nn.Conv(self.out_c, (1, 1), use_bias=False, name='conv')(x)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(self.out_c, (1,) * nd, use_bias=False, name='conv')(x)
+        return nn.avg_pool(x, (2,) * nd, strides=(2,) * nd)
 
 
 class DenseNetEncoder(nn.Module):
@@ -77,11 +80,12 @@ class DenseNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.init_features, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    name='conv0')(x)
+        nd = x.ndim - 2
+        x = nn.Conv(self.init_features, (7,) * nd, strides=(2,) * nd, padding=3,
+                    use_bias=False, name='conv0')(x)
         x = Norm('batchnorm2d', name='norm0')(x, train)
         x = jax.nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3,) * nd, strides=(2,) * nd, padding=((1, 1),) * nd)
         features = {}
         for i, n in enumerate(self.block_config):
             x = _DenseBlock(n, self.growth_rate, self.bn_size, name=f'denseblock{i + 1}')(x, train)

@@ -23,9 +23,14 @@ __all__ = ['FeaturePyramidNetwork', 'BackboneWithFPN', 'FPN',
 
 
 class FeaturePyramidNetwork(nn.Module):
-    """FPN decoder over an ordered dict of features (finest first)."""
+    """FPN decoder over an ordered dict of features (finest first).
+
+    ``norm_layer`` defaults to None — plain convs with bias, matching the
+    reference's torchvision-style FPN default (``celldetection/models/fpn.py:
+    79-106``); reference FPN checkpoints then import directly.
+    """
     out_channels: int = 256
-    norm_layer: Optional[str] = 'batchnorm2d'
+    norm_layer: Optional[str] = None
     extra_maxpool: bool = True
 
     @nn.compact
@@ -60,7 +65,7 @@ class BackboneWithFPN(nn.Module):
     normalize: bool = True
     inputs_mean: Any = 0.
     inputs_std: Any = 1.
-    norm_layer: Optional[str] = 'batchnorm2d'
+    norm_layer: Optional[str] = None
 
     @property
     def feature_channels(self):

@@ -6,6 +6,7 @@ MaNet (:116). U-Net variant whose decoder merges with Multi-scale Fusion
 Attention blocks (dual squeeze-excitation gating) and whose deepest encoder
 feature passes through a Position-wise Attention Block.
 """
+import math
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -28,18 +29,20 @@ class PositionWiseAttention(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_out = self.out_channels or x.shape[-1]
+        nd = x.ndim - 2
         if x.shape[-1] != c_out:
-            x = nn.Conv(c_out, (3, 3), padding=1, name='in_conv')(x)
-        n, h, w, c = x.shape
-        a = nn.Conv(self.mid_channels, (1, 1), name='proj_a')(x).reshape(n, h * w, -1)
-        b = nn.Conv(self.mid_channels, (1, 1), name='proj_b')(x).reshape(n, h * w, -1)
+            x = nn.Conv(c_out, (3,) * nd, padding=1, name='in_conv')(x)
+        n, spatial = x.shape[0], x.shape[1:-1]
+        hw = math.prod(spatial)
+        a = nn.Conv(self.mid_channels, (1,) * nd, name='proj_a')(x).reshape(n, hw, -1)
+        b = nn.Conv(self.mid_channels, (1,) * nd, name='proj_b')(x).reshape(n, hw, -1)
         p = jnp.einsum('nic,njc->nij', a, b)
-        p = jax.nn.softmax(p.reshape(n, -1), -1).reshape(n, h * w, h * w)
-        cmap = nn.Conv(c_out, (self.kernel_size,) * 2, padding=self.kernel_size // 2,
-                       name='proj')(x).reshape(n, h * w, c_out)
-        out = jnp.einsum('nij,nic->njc', p, cmap).reshape(n, h, w, c_out)
+        p = jax.nn.softmax(p.reshape(n, -1), -1).reshape(n, hw, hw)
+        cmap = nn.Conv(c_out, (self.kernel_size,) * nd, padding=self.kernel_size // 2,
+                       name='proj')(x).reshape(n, hw, c_out)
+        out = jnp.einsum('nij,nic->njc', p, cmap).reshape(n, *spatial, c_out)
         beta = self.param('beta', nn.initializers.zeros, (1,)) if self.beta else 1.
-        return nn.Conv(c_out, (3, 3), padding=1, name='out_conv')(beta * out + x)
+        return nn.Conv(c_out, (3,) * nd, padding=1, name='out_conv')(beta * out + x)
 
 
 class MultiscaleFusionAttention(nn.Module):
@@ -52,20 +55,21 @@ class MultiscaleFusionAttention(nn.Module):
     @nn.compact
     def __call__(self, x, lateral=None, train: bool = False):
         in_c = x.shape[-1]
+        nd = x.ndim - 2
         x = ConvNormRelu(in_c, use_bias=False, name='in0')(x, train)
         x = ConvNormRelu(self.lateral_channels, kernel_size=1, padding=0, use_bias=False,
                          name='in1')(x, train)
         if lateral is not None:
-            if x.shape[1:3] != lateral.shape[1:3]:
-                x = resize_nearest(x, lateral.shape[1:3]) if self.interpolation == 'nearest' \
-                    else resize_bilinear(x, lateral.shape[1:3])
+            if x.shape[1:-1] != lateral.shape[1:-1]:
+                x = resize_nearest(x, lateral.shape[1:-1]) if self.interpolation == 'nearest' \
+                    else resize_bilinear(x, lateral.shape[1:-1])
 
             def se(y, name):
                 c = y.shape[-1]
-                s = jnp.mean(y, (1, 2), keepdims=True)
-                s = nn.Conv(max(c // self.compression, 1), (1, 1), name=f'{name}_fc0')(s)
+                s = jnp.mean(y, tuple(range(1, y.ndim - 1)), keepdims=True)
+                s = nn.Conv(max(c // self.compression, 1), (1,) * nd, name=f'{name}_fc0')(s)
                 s = jax.nn.relu(s)
-                s = nn.Conv(c, (1, 1), name=f'{name}_fc1')(s)
+                s = nn.Conv(c, (1,) * nd, name=f'{name}_fc1')(s)
                 return jax.nn.sigmoid(s)
 
             a = se(x, 'se_high')
@@ -129,4 +133,4 @@ class MaNet(nn.Module):
         feats = self.body(x, train)
         return MaNetDecoder(in_channels_list=list(self.body.out_channels),
                             pab_channels=self.pab_channels,
-                            name='decoder')(feats, size=inputs.shape[1:3], train=train)
+                            name='decoder')(feats, size=inputs.shape[1:-1], train=train)

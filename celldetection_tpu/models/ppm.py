@@ -21,13 +21,13 @@ class Ppm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        n, h, w, c = x.shape
+        spatial = x.shape[1:-1]
         outs = [x]
         for i, s in enumerate(self.scales):
-            # adaptive average pool to s x s
-            ph, pw = max(h // s, 1), max(w // s, 1)
-            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
+            # adaptive average pool to s^nd
+            win = tuple(max(d // s, 1) for d in spatial)
+            pooled = nn.avg_pool(x, win, strides=win)
             pooled = ConvNormRelu(self.out_channels, kernel_size=1, padding=0,
                                   name=f'scale{i}')(pooled, train)
-            outs.append(resize_bilinear(pooled, (h, w)))
+            outs.append(resize_bilinear(pooled, spatial))
         return jnp.concatenate(outs, -1)

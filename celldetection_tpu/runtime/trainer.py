@@ -82,12 +82,16 @@ class CPNTrainer:
 
     # --- training -----------------------------------------------------------
 
-    def _make_batch(self, train_data, idx, samples, order, max_instances, rng_np):
+    def _make_batch(self, train_data, idx, samples, order, max_instances, rng_np,
+                    crop_size=None):
+        from ..data.misc import random_crop
         images, items = [], []
         for i in idx:
             image, labels = train_data[int(i)]
             if image.ndim == 2:
                 image = image[..., None]
+            if crop_size is not None:
+                image, labels = random_crop(image, labels, height=crop_size, rng=rng_np)
             items.append(cpn_targets_single(np.ascontiguousarray(labels), samples,
                                             order, rng=rng_np))
             images.append(np.asarray(image, np.float32))
@@ -99,7 +103,8 @@ class CPNTrainer:
             max_instances: int = 128, val_data=None, val_every: int = 1,
             samples: Optional[int] = None, order: Optional[int] = None,
             shuffle: bool = True, adaptive_sampling: bool = False,
-            sampling_alpha: float = 1.0, prefetch: int = 1):
+            sampling_alpha: float = 1.0, prefetch: int = 1,
+            crop_size: int = None):
         """Train on a dataset of ``(image, labels)`` pairs.
 
         Target generation (cv2 contour extraction, EFD, distance transforms)
@@ -146,7 +151,8 @@ class CPNTrainer:
             def submit(j):
                 return pool.submit(self._make_batch, train_data,
                                    epoch_idx[starts[j]:starts[j] + batch_size],
-                                   samples, order, max_instances, batch_rngs[j])
+                                   samples, order, max_instances, batch_rngs[j],
+                                   crop_size)
 
             window = {j: submit(j) for j in range(min(prefetch, len(starts)))}
             for bi, start in enumerate(starts):

@@ -19,6 +19,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 __all__ = ['DEFAULT_MODEL_URLS', 'adapt_first_conv', 'translate_torchvision_resnet',
+           'translate_torchvision_densenet', 'translate_torchvision_convnext',
            'resolve_pretrained_state', 'apply_pretrained_']
 
 # torchvision ImageNet checkpoints (same table as the reference,
@@ -79,11 +80,129 @@ def translate_torchvision_resnet(state_dict: Dict[str, np.ndarray], in_channels:
     return out
 
 
+DEFAULT_MODEL_URLS.update({
+    # torchvision DenseNet ImageNet weights (ref: celldetection/models/densenet.py:17-20)
+    'DenseNet121': 'https://download.pytorch.org/models/densenet121-a639ec97.pth',
+    'DenseNet161': 'https://download.pytorch.org/models/densenet161-8d451a50.pth',
+    'DenseNet169': 'https://download.pytorch.org/models/densenet169-b2777c0a.pth',
+    'DenseNet201': 'https://download.pytorch.org/models/densenet201-c1103571.pth',
+})
+
+
+def translate_torchvision_densenet(state_dict: Dict[str, np.ndarray], in_channels: int = 3,
+                                   base: Tuple[str, ...] = ('backbone', 'body'),
+                                   ) -> Dict[Tuple, np.ndarray]:
+    """Torchvision DenseNet state dict → flat ``{(collection, path): array}``.
+
+    Our encoder reuses torchvision's module names (conv0/norm0/denseblockN/
+    denselayerM/transitionN), so the mapping is positional-free (unlike the
+    reference's order-zipped remap, ``celldetection/models/densenet.py:24``).
+    """
+    from .torch_import import _emit_conv, _emit_norm
+
+    out: Dict[Tuple, np.ndarray] = {}
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        if key.startswith('classifier.'):
+            continue
+        if key.startswith('features.'):
+            key = key[len('features.'):]
+        parts = key.split('.')
+        leaf = parts[-1]
+        path = base + tuple(parts[:-1])
+        if parts[-2].startswith('conv'):
+            if leaf == 'weight' and parts[-2] == 'conv0':
+                v = adapt_first_conv(v, in_channels)
+            _emit_conv(out, path, leaf, v)
+        elif parts[-2].startswith('norm'):
+            _emit_norm(out, path, leaf, v)
+        else:
+            raise KeyError(f'Unrecognized torchvision densenet key: {key}')
+    return out
+
+
+DEFAULT_MODEL_URLS.update({
+    # torchvision ConvNeXt ImageNet weights (ref: celldetection/models/convnext.py:19-24)
+    'ConvNeXtTiny': 'https://download.pytorch.org/models/convnext_tiny-983f1562.pth',
+    'ConvNeXtSmall': 'https://download.pytorch.org/models/convnext_small-0c510722.pth',
+    'ConvNeXtBase': 'https://download.pytorch.org/models/convnext_base-6075fbad.pth',
+    'ConvNeXtLarge': 'https://download.pytorch.org/models/convnext_large-ea097f82.pth',
+})
+
+
+def translate_torchvision_convnext(state_dict: Dict[str, np.ndarray], in_channels: int = 3,
+                                   base: Tuple[str, ...] = ('backbone', 'body'),
+                                   ) -> Dict[Tuple, np.ndarray]:
+    """Torchvision ConvNeXt state dict → flat ``{(collection, path): array}``.
+
+    Torchvision's features Sequential places stage ``i``'s blocks at index
+    ``2i+1`` and the LN+2x2 downsample at ``2i``; block internals are
+    ``block.{0 dw-conv, 2 LN, 3 Linear 4C, 5 Linear C}`` + ``layer_scale``
+    (ref remap: ``celldetection/models/convnext.py:27-38``). Our encoder
+    names them stem_conv/stem_norm/down{i}_{norm,conv}/stage{i}_block{j}.
+    """
+    from .torch_import import _conv_kernel
+
+    out: Dict[Tuple, np.ndarray] = {}
+
+    def put(path, leaf, v):
+        out[('params', base + path + (leaf,))] = v
+
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        if key.startswith('classifier.'):
+            continue
+        if not key.startswith('features.'):
+            raise KeyError(f'Unrecognized torchvision convnext key: {key}')
+        parts = key[len('features.'):].split('.')
+        fi = int(parts[0])
+        if fi == 0:  # stem: 0 conv, 1 LayerNorm
+            leaf = parts[-1]
+            if parts[1] == '0':
+                if leaf == 'weight':
+                    put(('stem_conv',), 'kernel', _conv_kernel(adapt_first_conv(v, in_channels)))
+                else:
+                    put(('stem_conv',), 'bias', v)
+            else:
+                put(('stem_norm',), 'scale' if leaf == 'weight' else 'bias', v)
+        elif fi % 2 == 0:  # downsample: 0 LayerNorm, 1 conv
+            stage = fi // 2
+            leaf = parts[-1]
+            if parts[1] == '0':
+                put((f'down{stage}_norm',), 'scale' if leaf == 'weight' else 'bias', v)
+            else:
+                put((f'down{stage}_conv',), 'kernel' if leaf == 'weight' else 'bias',
+                    _conv_kernel(v) if leaf == 'weight' else v)
+        else:  # stage blocks
+            stage, j = fi // 2, int(parts[1])
+            blk = (f'stage{stage}_block{j}',)
+            if parts[2] == 'layer_scale':
+                put(blk, 'layer_scale', v.reshape(-1))
+                continue
+            idx, leaf = int(parts[3]), parts[-1]
+            if idx == 0:  # depthwise conv
+                put(blk + ('dwconv',), 'kernel' if leaf == 'weight' else 'bias',
+                    _conv_kernel(v) if leaf == 'weight' else v)
+            elif idx == 2:  # LayerNorm
+                put(blk + ('norm',), 'scale' if leaf == 'weight' else 'bias', v)
+            elif idx in (3, 5):  # Linear layers (channels-last in torch too)
+                name = 'mlp0' if idx == 3 else 'mlp1'
+                put(blk + (name,), 'kernel' if leaf == 'weight' else 'bias',
+                    v.T if leaf == 'weight' else v)
+            else:
+                raise KeyError(f'Unrecognized torchvision convnext key: {key}')
+    return out
+
+
 _NAME_TO_URL_KEY = {
     'ResNeXt50': 'ResNeXt50', 'ResNeXt101': 'ResNeXt101',
     'WideResNet50': 'WideResNet50', 'WideResNet101': 'WideResNet101',
     'ResNet18': 'ResNet18', 'ResNet34': 'ResNet34', 'ResNet50': 'ResNet50',
     'ResNet101': 'ResNet101', 'ResNet152': 'ResNet152',
+    'DenseNet121': 'DenseNet121', 'DenseNet161': 'DenseNet161',
+    'DenseNet169': 'DenseNet169', 'DenseNet201': 'DenseNet201',
+    'ConvNeXtTiny': 'ConvNeXtTiny', 'ConvNeXtSmall': 'ConvNeXtSmall',
+    'ConvNeXtBase': 'ConvNeXtBase', 'ConvNeXtLarge': 'ConvNeXtLarge',
 }
 
 
@@ -137,7 +256,13 @@ def apply_pretrained_(model, spec) -> None:
     model_name = model.hparams.get('model', '') if hasattr(model, 'hparams') else ''
     in_channels = model.hparams.get('in_channels', 3) if hasattr(model, 'hparams') else 3
     sd = resolve_pretrained_state(spec, model_name)
-    flat = translate_torchvision_resnet(sd, in_channels=in_channels)
+    if 'DenseNet' in model_name or any(k.startswith(('features.denseblock', 'denseblock'))
+                                       for k in sd):
+        flat = translate_torchvision_densenet(sd, in_channels=in_channels)
+    elif 'ConvNeXt' in model_name or any('.block.' in k for k in sd):
+        flat = translate_torchvision_convnext(sd, in_channels=in_channels)
+    else:
+        flat = translate_torchvision_resnet(sd, in_channels=in_channels)
 
     variables = model.variables
     target = {c: flatten_dict(variables[c]) for c in variables}

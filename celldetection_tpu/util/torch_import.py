@@ -164,6 +164,15 @@ def translate_cpn_state_dict(state_dict: Dict[str, np.ndarray], fused_initial: b
         if m:
             _emit_conv(out, ('backbone', 'unet', 'out_layer'), m.group(1), v)
             continue
+        # FPN decoder: fpn.{inner,layer}_blocks.<i>.<0 conv | 1 norm>.*
+        m = re.match(r'backbone\.fpn\.(inner|layer)_blocks\.(\d+)\.(\d)\.(.*)', key)
+        if m:
+            name = f'{m.group(1)}{int(m.group(2))}'
+            if m.group(3) == '0':
+                _emit_conv(out, ('backbone', 'fpn', name, 'conv'), m.group(4), v)
+            else:
+                _emit_norm(out, ('backbone', 'fpn', name, 'norm'), m.group(4), v)
+            continue
         # --- encoder body ---------------------------------------------------
         m = re.match(r'backbone\.body\.(.*)', key)
         if m:
@@ -319,6 +328,14 @@ def export_torch_state_dict(variables, fused_initial: bool = True,
                         v, is_kernel)
                     continue
                 raise KeyError(f'export: unknown unet path {path}')
+            if p[0] == 'backbone' and p[1] == 'fpn':
+                m = re.match(r'(inner|layer)(\d+)', p[2])
+                base = f'backbone.fpn.{m.group(1)}_blocks.{m.group(2)}'
+                if p[3] == 'conv':
+                    put(f'{base}.0.{"weight" if is_kernel else "bias"}', v, is_kernel)
+                else:
+                    put(f'{base}.1.{norm_suffix(coll, leaf)}', v, False)
+                continue
             if p[0] == 'backbone' and p[1] == 'body':
                 if encoder == 'unet':
                     m = re.match(r'block(\d+)', p[2])

@@ -479,6 +479,18 @@ def install():  # noqa: C901 - one long, linear setup function by design
                 self.__dict__['_refshim_hparams'] = AttributeDict()
             return self.__dict__['_refshim_hparams']
 
+        def _set_hparams(self, hp):
+            if hasattr(hp, 'items'):
+                self.hparams.update(dict(hp))
+            else:
+                self.hparams.update(vars(hp))
+
+        @property
+        def _hparams(self):
+            return self.hparams
+
+        _hparams_initial = AttributeDict()  # instance value set by callers
+
     class LightningModule(nn.Module, HyperparametersMixin):
         trainer = None
 

@@ -254,3 +254,42 @@ def test_resnet_unet_fpn_3d_forward():
     feats = f.apply(v, x3, False)
     assert feats['0'].shape == (1, 8, 8, 8, 256)
     assert feats['pool'].shape[1:4] == (1, 1, 1)
+
+
+def test_ppm_manet_3d_forward():
+    from celldetection_tpu.models.ppm import Ppm
+    from celldetection_tpu.models.manet import PositionWiseAttention, MultiscaleFusionAttention
+
+    x3 = jnp.zeros((1, 12, 12, 12, 8))
+    p = Ppm(out_channels=4, scales=(1, 2, 3))
+    v = p.init(jax.random.PRNGKey(0), x3, False)
+    out = p.apply(v, x3, False)
+    assert out.shape == (1, 12, 12, 12, 8 + 3 * 4)
+
+    x3 = jnp.zeros((1, 4, 4, 4, 8))
+    pab = PositionWiseAttention(mid_channels=4)
+    v = pab.init(jax.random.PRNGKey(0), x3, False)
+    assert pab.apply(v, x3, False).shape == x3.shape
+
+    lo = jnp.zeros((1, 8, 8, 8, 6))
+    mfab = MultiscaleFusionAttention(out_channels=5, lateral_channels=6)
+    v = mfab.init(jax.random.PRNGKey(0), x3, lo, False)
+    assert mfab.apply(v, x3, lo, False).shape == (1, 8, 8, 8, 5)
+
+
+def test_densenet_convnext_3d_forward():
+    from celldetection_tpu.models.convnext import ConvNeXtEncoder
+    from celldetection_tpu.models.densenet import DenseNetEncoder
+
+    x3 = jnp.zeros((1, 32, 32, 32, 1))
+    d = DenseNetEncoder(in_channels=1, growth_rate=8, block_config=(2, 2), init_features=8)
+    v = d.init(jax.random.PRNGKey(0), x3, False)
+    feats = d.apply(v, x3, False)
+    assert feats['0'].shape[1:4] == (8, 8, 8)
+    assert feats['1'].shape[1:4] == (4, 4, 4)
+
+    c = ConvNeXtEncoder(in_channels=1, depths=(2, 2), channels=(16, 32))
+    v = c.init({'params': jax.random.PRNGKey(0)}, x3, False)
+    feats = c.apply(v, x3, False)
+    assert feats['0'].shape == (1, 8, 8, 8, 16)
+    assert feats['1'].shape == (1, 4, 4, 4, 32)

@@ -118,3 +118,105 @@ def test_url_table_covers_resnet_family():
 def test_translate_rejects_unknown_keys():
     with pytest.raises(KeyError):
         translate_torchvision_resnet({'foo.bar': np.zeros((1,))})
+
+
+def test_pretrained_convnext_layout():
+    """Torchvision ConvNeXt layout import (sequential indices, LN/Linear/dw)."""
+    from flax.traverse_util import flatten_dict
+    from celldetection_tpu.util.pretrained import apply_pretrained_
+
+    m = models.get_cpn('CpnConvNeXtTinyUNet')(in_channels=1, max_detections=16, samples=8)
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+
+    rng = np.random.RandomState(1)
+    sd = {}
+    for path, v in flatten_dict(m.variables['params']).items():
+        if path[:2] != ('backbone', 'body'):
+            continue
+        mod, leaf = path[2], path[-1]
+        val = rng.randn(*np.shape(v)).astype(np.float32)
+        if mod == 'stem_conv':
+            key = 'features.0.0.' + ('weight' if leaf == 'kernel' else 'bias')
+            if leaf == 'kernel':
+                val = rng.randn(4, 4, 3, v.shape[-1]).astype(np.float32)
+                sd[key] = np.transpose(val, (3, 2, 0, 1))
+                continue
+        elif mod == 'stem_norm':
+            key = 'features.0.1.' + ('weight' if leaf == 'scale' else 'bias')
+        elif mod.startswith('down'):
+            stage = int(mod[4])
+            sub = '0' if mod.endswith('norm') else '1'
+            tv_leaf = 'weight' if leaf in ('scale', 'kernel') else 'bias'
+            key = f'features.{2 * stage}.{sub}.{tv_leaf}'
+            if leaf == 'kernel':
+                sd[key] = np.transpose(val, (3, 2, 0, 1))
+                continue
+        else:  # stage{i}_block{j}
+            stage = int(mod[5])
+            j = int(mod.split('block')[1])
+            base = f'features.{2 * stage + 1}.{j}'
+            if leaf == 'layer_scale':
+                sd[f'{base}.layer_scale'] = val.reshape(-1, 1, 1)
+                continue
+            sub = path[3]
+            idx = {'dwconv': 0, 'norm': 2, 'mlp0': 3, 'mlp1': 5}[sub]
+            tv_leaf = 'weight' if leaf in ('scale', 'kernel') else 'bias'
+            key = f'{base}.block.{idx}.{tv_leaf}'
+            if leaf == 'kernel':
+                sd[key] = np.transpose(val, (3, 2, 0, 1)) if sub == 'dwconv' else val.T
+                continue
+        sd[key] = val
+    sd['classifier.2.weight'] = rng.randn(1000, 768).astype(np.float32)
+
+    m.hparams['model'] = 'CpnConvNeXtTinyUNet'
+    apply_pretrained_(m, sd)
+    got = np.asarray(m.variables['params']['backbone']['body']['stem_conv']['kernel'])
+    src = np.transpose(sd['features.0.0.weight'], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, src[:, :, [0], :])
+    got_ls = np.asarray(
+        m.variables['params']['backbone']['body']['stage0_block0']['layer_scale'])
+    np.testing.assert_allclose(got_ls, sd['features.1.0.layer_scale'].reshape(-1))
+
+
+def test_pretrained_densenet_layout():
+    """Torchvision DenseNet layout import (named modules, conv0 adaptation)."""
+    from flax.traverse_util import flatten_dict
+    from celldetection_tpu.util.pretrained import translate_torchvision_densenet
+
+    m = models.get_cpn('CpnDenseNet121UNet') if 'CpnDenseNet121UNet' in models.models_by_name \
+        else None
+    if m is None:
+        import pytest as _pytest
+        _pytest.skip('no DenseNet CPN in zoo')
+    m = m(in_channels=1, max_detections=16, samples=8)
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+
+    # synthesize torchvision-layout dict from the tree (inverse path mapping)
+    rng = np.random.RandomState(0)
+    leaf_map = {('params', 'scale'): 'weight', ('params', 'bias'): 'bias',
+                ('batch_stats', 'mean'): 'running_mean',
+                ('batch_stats', 'var'): 'running_var'}
+    sd = {}
+    for coll in m.variables:
+        for path, v in flatten_dict(m.variables[coll]).items():
+            if path[:2] != ('backbone', 'body'):
+                continue
+            mods, leaf = path[2:-1], path[-1]
+            val = rng.randn(*np.shape(v)).astype(np.float32)
+            if leaf == 'kernel':
+                name = '.'.join(mods) + '.weight'
+                # conv0 gets channel-adapted on import: emit 3-channel source
+                if mods == ('conv0',):
+                    val = rng.randn(v.shape[0], v.shape[1], 3, v.shape[3]).astype(np.float32)
+                sd['features.' + name] = np.transpose(val, (3, 2, 0, 1))
+            else:
+                key = '.'.join(path[2:-2]) + '.' + leaf_map[(coll, leaf)]
+                sd['features.' + key] = val
+    sd['classifier.weight'] = rng.randn(1000, 8).astype(np.float32)
+
+    from celldetection_tpu.util.pretrained import apply_pretrained_
+    m.hparams['model'] = 'CpnDenseNet121UNet'
+    apply_pretrained_(m, sd)
+    got = np.asarray(m.variables['params']['backbone']['body']['conv0']['kernel'])
+    expect = np.transpose(sd['features.conv0.weight'], (2, 3, 1, 0))[:, :, [0], :]
+    np.testing.assert_allclose(got, expect)

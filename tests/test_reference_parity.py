@@ -50,15 +50,25 @@ def blob_image(size=256, n=25, seed=7):
     return np.clip(img, 0, 1)
 
 
-def _spread_heads(ref_model, score_gain=300.0, fourier_gain=25.0):
+def _spread_heads(ref_model, img=None, score_std=2.0, fourier_std=0.15):
     """Randomly initialized heads output near-constant fields (score logits
     span ~1e-3), making any threshold selection numerically unstable across
-    frameworks. Scaling the final head convs spreads the outputs so the
-    detection set is well-separated — the comparison then measures transport
-    + decode parity, not tie-breaking on a flat random field."""
+    frameworks. Scale the final head convs so the score logits have a target
+    std — the detection set becomes well-separated and the comparison
+    measures transport + decode parity, not tie-breaking on a flat field."""
+    img = blob_image() if img is None else img
+    ref_model.eval()
+    x = torch.from_numpy(img.transpose(2, 0, 1))[None]
     with torch.no_grad():
-        ref_model.core.score_head.block[4].weight *= score_gain
-        ref_model.core.fourier_head.block[4].weight *= fourier_gain
+        core = ref_model.core(x)
+        s_scale = score_std / max(float(core[0].float().std()), 1e-12)
+        f_scale = fourier_std / max(float(core[3].float().std()), 1e-12)
+        ref_model.core.score_head.block[4].weight *= s_scale
+        if ref_model.core.score_head.block[4].bias is not None:
+            ref_model.core.score_head.block[4].bias *= s_scale
+        ref_model.core.fourier_head.block[4].weight *= f_scale
+        if ref_model.core.fourier_head.block[4].bias is not None:
+            ref_model.core.fourier_head.block[4].bias *= f_scale
 
 
 def _import_reference_weights(ref_model, our_model):
@@ -119,6 +129,7 @@ def _assert_detection_parity(ref_out, our_out, *, max_score_diff=1e-3,
 @pytest.mark.parametrize('name,backbone_kwargs', [
     ('CpnU22', None),
     ('CpnResNet18UNet', None),
+    ('CpnResNet18FPN', None),
 ])
 def test_reference_parity_dense_and_detections(ref_cd, name, backbone_kwargs):
     import jax
