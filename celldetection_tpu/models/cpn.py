@@ -771,20 +771,26 @@ def _register_backbone_cpns():
     # timm / smp encoder variants (host-executed backbones via pure_callback;
     # require the optional torch-side packages — reference zoo parity for
     # CpnTimmUNet :2001, CpnSmpUNet :1960, CpnTimmMaNet :2042, CpnSmpMaNet :1919).
+    def _host_enc(adapter_name, model_name, in_channels, pretrained, backbone_kwargs):
+        bk = dict(backbone_kwargs or {})
+        trainable = bk.pop('trainable', False)
+        if adapter_name == 'timm':
+            from .timmodels import TimmEncoder
+            enc = TimmEncoder(model_name, in_channels=in_channels,
+                              pretrained=pretrained, **bk)
+        else:
+            from .smp import SmpEncoder
+            enc = SmpEncoder(model_name, in_channels=in_channels,
+                             weights='imagenet' if pretrained else None, **bk)
+        return enc, trainable
+
     def _host_unet(adapter_name):
         def ctor(in_channels, out_channels=0, model_name=None, backbone_kwargs=None,
                  pretrained=False, **kw):
             from .host_encoder import HostEncoder
-            if adapter_name == 'timm':
-                from .timmodels import TimmEncoder
-                enc = TimmEncoder(model_name, in_channels=in_channels,
-                                  pretrained=pretrained, **(backbone_kwargs or {}))
-            else:
-                from .smp import SmpEncoder
-                enc = SmpEncoder(model_name, in_channels=in_channels,
-                                 weights='imagenet' if pretrained else None,
-                                 **(backbone_kwargs or {}))
-            host = HostEncoder(enc)
+            enc, trainable = _host_enc(adapter_name, model_name, in_channels,
+                                       pretrained, backbone_kwargs)
+            host = HostEncoder(enc, trainable=trainable)
             return unet_lib.UNet(body=host, in_channels_list=list(enc.out_channels),
                                  in_strides_list=list(enc.out_strides),
                                  out_channels=out_channels, **kw)
@@ -795,16 +801,9 @@ def _register_backbone_cpns():
                  pretrained=False, **kw):
             from .host_encoder import HostEncoder
             from . import manet as manet_lib2
-            if adapter_name == 'timm':
-                from .timmodels import TimmEncoder
-                enc = TimmEncoder(model_name, in_channels=in_channels,
-                                  pretrained=pretrained, **(backbone_kwargs or {}))
-            else:
-                from .smp import SmpEncoder
-                enc = SmpEncoder(model_name, in_channels=in_channels,
-                                 weights='imagenet' if pretrained else None,
-                                 **(backbone_kwargs or {}))
-            return manet_lib2.MaNet(body=HostEncoder(enc), **kw)
+            enc, trainable = _host_enc(adapter_name, model_name, in_channels,
+                                       pretrained, backbone_kwargs)
+            return manet_lib2.MaNet(body=HostEncoder(enc, trainable=trainable), **kw)
         return ctor
 
     def _host_cpn(backbone_fn, cpn_name):

@@ -32,10 +32,14 @@ class SmpEncoder:
         self.out_strides = [2 ** i for i in range(1, len(self.out_channels) + 1)]
         self.pretrained_cfg = {}
 
+    def torch_features(self, x_t):
+        """NCHW torch tensor → list of NCHW feature tensors (autograd-capable)."""
+        return self.module(x_t)[1:]
+
     def __call__(self, x, train: bool = False):
         import jax.numpy as jnp
         torch = self._torch
         x_t = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
         with torch.no_grad():
-            feats = self.module(x_t)[1:]
+            feats = self.torch_features(x_t)
         return {str(i): jnp.asarray(f.permute(0, 2, 3, 1).numpy()) for i, f in enumerate(feats)}

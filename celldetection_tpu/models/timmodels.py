@@ -53,10 +53,14 @@ class TimmEncoder:
         self.out_strides = list(self.module.feature_info.reduction())
         self.pretrained_cfg = getattr(self.module, 'pretrained_cfg', {})
 
+    def torch_features(self, x_t):
+        """NCHW torch tensor → list of NCHW feature tensors (autograd-capable)."""
+        return self.module(x_t)
+
     def __call__(self, x, train: bool = False):
         import jax.numpy as jnp
         torch = self._torch
         x_t = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)  # NHWC -> NCHW
         with torch.no_grad():
-            feats = self.module(x_t)
+            feats = self.torch_features(x_t)
         return {str(i): jnp.asarray(f.permute(0, 2, 3, 1).numpy()) for i, f in enumerate(feats)}

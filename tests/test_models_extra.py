@@ -220,6 +220,58 @@ def test_host_encoder_in_jit():
     assert out['0'].shape == (1, 8, 8, 8) and out['1'].shape == (1, 4, 4, 16)
 
 
+def test_host_encoder_trainable_gradients():
+    """trainable=True: torch params become flax params; grads cross the
+    callback via host-side torch autograd and match torch exactly."""
+    import torch
+    from celldetection_tpu.models.host_encoder import HostEncoder
+
+    class TorchEnc:
+        out_channels = [6]
+        out_strides = [2]
+
+        def __init__(self):
+            torch.manual_seed(0)
+            self.module = torch.nn.Sequential(
+                torch.nn.Conv2d(3, 6, 3, stride=2, padding=1),
+                torch.nn.ReLU(),
+                torch.nn.Conv2d(6, 6, 3, padding=1))
+
+        def torch_features(self, x_t):
+            return [self.module(x_t)]
+
+    enc = TorchEnc()
+    he = HostEncoder(enc, trainable=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3), jnp.float32)
+    v = he.init(jax.random.PRNGKey(0), x, False)
+    # registered params mirror the torch module
+    assert any('0__weight' in k for k in v['params'])
+
+    def loss_fn(params, x):
+        out = he.apply({'params': params}, x, False)
+        return jnp.sum(out['0'] ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(v['params'], x)
+    g_params, g_x = grads
+
+    # torch reference (re-enable grads: the host bwd pass switches them off)
+    for p in enc.module.parameters():
+        p.requires_grad_(True)
+    x_t = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).requires_grad_(True)
+    f = enc.module(x_t)
+    (f ** 2).sum().backward()
+    np.testing.assert_allclose(float(loss), float((f ** 2).sum()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_params['0__weight']),
+                               enc.module[0].weight.grad.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_x),
+                               x_t.grad.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5)
+
+    # jit + grad composes
+    jl = jax.jit(jax.grad(loss_fn))(v['params'], x)
+    np.testing.assert_allclose(np.asarray(jl['2__bias']),
+                               enc.module[2].bias.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
 def test_timm_smp_cpns_gated():
     import pytest as _pytest
     from celldetection_tpu import models as _m
