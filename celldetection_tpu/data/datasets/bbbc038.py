@@ -11,7 +11,26 @@ import numpy as np
 
 from ..segmentation import unary_masks2labels
 
-__all__ = ['BBBC038Train']
+__all__ = ['BBBC038Train', 'download_bbbc038']
+
+URLS = (
+    'https://data.broadinstitute.org/bbbc/BBBC038/stage1_train.zip',
+    'https://data.broadinstitute.org/bbbc/BBBC038/stage1_test.zip',
+    'https://data.broadinstitute.org/bbbc/BBBC038/stage2_test_final.zip',
+)
+
+
+def download_bbbc038(directory: str):
+    """Download and extract BBBC038 (https://bbbc.broadinstitute.org/BBBC038)."""
+    import zipfile
+    from urllib.request import urlretrieve
+    os.makedirs(directory, exist_ok=True)
+    for url in URLS:
+        fn = join(directory, url.rsplit('/', 1)[-1])
+        if not os.path.isfile(fn):
+            urlretrieve(url, fn)
+        with zipfile.ZipFile(fn) as z:
+            z.extractall(join(directory, fn.rsplit('.', 1)[0].rsplit('/', 1)[-1]))
 
 
 class BBBC038Train:

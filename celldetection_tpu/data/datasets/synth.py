@@ -6,7 +6,22 @@ offline and deterministically.
 """
 from ..toydata import random_geometric_objects
 
-__all__ = ['SynthTrain', 'SynthVal', 'SynthTest']
+__all__ = ['SynthTrain', 'SynthVal', 'SynthTest', 'download_synth']
+
+
+def download_synth(directory: str, url: str = 'https://celldetection.org/data/synth.zip'):
+    """Download and extract the hosted Synth dataset (parity:
+    ``celldetection/data/datasets/synth.py:10``). The in-memory generated
+    splits above need no download; this fetches the reference's fixed copy."""
+    import os
+    import zipfile
+    from urllib.request import urlretrieve
+    os.makedirs(directory, exist_ok=True)
+    fn = os.path.join(directory, url.rsplit('/', 1)[-1])
+    if not os.path.isfile(fn):
+        urlretrieve(url, fn)
+    with zipfile.ZipFile(fn) as z:
+        z.extractall(directory)
 
 
 class _Synth:

@@ -15,7 +15,7 @@ __all__ = [
     'transpose_spatial', 'padding_stack', 'universal_dict_collate_fn', 'normalize_percentile',
     'random_crop', 'random_pad', 'rle2mask', 'rgb_to_scalar', 'resample_contours',
     'pad_to_size', 'pad_to_div', 'channels_first2channels_last', 'channels_last2channels_first',
-    'labels2properties', 'labels2crops',
+    'labels2properties', 'labels2property_table', 'labels2crops', 'regionprops2d', 'split',
 ]
 
 
@@ -196,6 +196,51 @@ def labels2properties(labels: np.ndarray, *properties, offset=(0, 0)):
                 row.append(v)
             rows.append(row if len(properties) > 1 else row[0])
     return rows
+
+
+def regionprops2d(label_image: np.ndarray, **kwargs):
+    """Region properties for possibly multi-channel label images (parity:
+    ``regionprops2d``, ``celldetection/data/misc.py:451`` — a channel-aware
+    generator over per-region property objects; labels may not yield in
+    order)."""
+    from ._regionprops import regionprops
+    assert label_image.ndim in (2, 3)
+    if label_image.ndim == 2:
+        label_image = label_image[..., None]
+    for z in range(label_image.shape[2]):
+        yield from regionprops(label_image[..., z], **kwargs)
+
+
+def split(n: int, *fractions, shuffle: bool = True, seed=None):
+    """Partition ``range(n)`` into index sets by fractions summing to 1
+    (parity: ``split``, ``celldetection/data/misc.py:489``)."""
+    if abs(sum(fractions) - 1.) > 1e-9:
+        raise ValueError('The sum of splits must be equal to 1.')
+    rng = np.random.RandomState(seed)
+    idx = np.arange(n)
+    if shuffle:
+        rng.shuffle(idx)
+    bounds = np.cumsum([int(round(f * n)) for f in fractions])[:-1]
+    return [np.sort(part) for part in np.split(idx, bounds)]
+
+
+def labels2property_table(labels: np.ndarray, *properties, iter_channels: bool = True):
+    """Per-region property table as a ``pd.DataFrame`` (parity:
+    ``labels2property_table``, ``celldetection/data/misc.py:320``).
+
+    One column per property name (see :func:`labels2properties`); channels of
+    a multi-channel label image are concatenated unless ``iter_channels`` is
+    False (then the stack is processed as-is).
+    """
+    import pandas as pd
+    if len(properties) == 1 and isinstance(properties[0], (list, tuple)):
+        properties, = properties
+    if not iter_channels and labels.ndim > 2:
+        labels = labels.reshape(labels.shape[0], -1)
+    rows = labels2properties(labels, *properties)
+    if len(properties) == 1:
+        rows = [[r] for r in rows]
+    return pd.DataFrame(rows, columns=list(properties))
 
 
 def labels2crops(labels: np.ndarray, image: np.ndarray):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ['CNBlock', 'CNBlockV2', 'GRN', 'ConvNeXtEncoder',
+__all__ = ['CNBlock', 'CNBlockV2', 'GRN', 'ConvNeXtEncoder', 'ConvNeXt', 'ConvNeXtV2',
            'ConvNeXtTiny', 'ConvNeXtSmall', 'ConvNeXtBase', 'ConvNeXtLarge',
            'ConvNeXtV2Atto', 'ConvNeXtV2Femto', 'ConvNeXtV2Pico', 'ConvNeXtV2Nano',
            'ConvNeXtV2Tiny', 'ConvNeXtV2Base', 'ConvNeXtV2Large', 'ConvNeXtV2Huge']
@@ -136,6 +136,16 @@ def _convnext(depths, channels, v2=False):
         return ConvNeXtEncoder(in_channels=in_channels, depths=depths, channels=channels,
                                v2=v2, fused_initial=fused_initial, **kwargs)
     return ctor
+
+
+# Reference generic spellings: ConvNeXt(depths=..., channels=...) builds an
+# arbitrary configuration (parity: cd.models.ConvNeXt / ConvNeXtV2).
+ConvNeXt = ConvNeXtEncoder
+
+
+def ConvNeXtV2(**kwargs):
+    kwargs.setdefault('v2', True)
+    return ConvNeXtEncoder(**kwargs)
 
 
 ConvNeXtTiny = _convnext((3, 3, 9, 3), (96, 192, 384, 768))

@@ -12,7 +12,7 @@ from flax import linen as nn
 
 from .commons import Norm
 
-__all__ = ['DenseNet121', 'DenseNet161', 'DenseNet169', 'DenseNet201']
+__all__ = ['DenseNet', 'DenseNet121', 'DenseNet161', 'DenseNet169', 'DenseNet201']
 
 
 class _DenseLayer(nn.Module):
@@ -102,6 +102,9 @@ def _densenet(growth, config, init_feat):
                                block_config=config, init_features=init_feat)
     return ctor
 
+
+# Reference generic spelling: arbitrary growth/config (parity: cd.models.DenseNet)
+DenseNet = DenseNetEncoder
 
 DenseNet121 = _densenet(32, (6, 12, 24, 16), 64)
 DenseNet161 = _densenet(48, (6, 12, 36, 24), 96)

@@ -6,7 +6,7 @@ PascalFilter (:86), ScharrFilter (:140), SobelFilter (:190), GaussianFilter
 EdgeFilter2d (:396).
 """
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -14,7 +14,26 @@ import numpy as np
 from flax import linen as nn
 
 __all__ = ['Filter2d', 'PascalFilter2d', 'ScharrFilter2d', 'SobelFilter2d', 'GaussianFilter2d',
-           'BoxFilter2d', 'LaplaceFilter2d', 'EdgeFilter2d', 'pascal_kernel', 'gaussian_kernel']
+           'BoxFilter2d', 'LaplaceFilter2d', 'EdgeFilter2d', 'UpFilter2d',
+           'pascal_kernel', 'gaussian_kernel']
+
+
+class UpFilter2d(nn.Module):
+    """Image-pyramid upsampling: zero-injection by ``scale_factor`` then the
+    given filter module (parity: ``UpFilter2d``,
+    ``celldetection/models/filters.py:371`` — typically paired with
+    ``PascalFilter2d``)."""
+    module: Any = None
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        s = self.scale_factor
+        up = jnp.zeros((n, h, s, w, s, c), x.dtype)
+        up = up.at[:, :, 0, :, 0, :].set(x).reshape(n, h * s, w * s, c)
+        mod = self.module if self.module is not None else PascalFilter2d()
+        return mod(up, train)
 
 
 def pascal_kernel(n: int) -> np.ndarray:

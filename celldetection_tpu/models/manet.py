@@ -16,7 +16,8 @@ from flax import linen as nn
 from ..ops.commons import resize_bilinear, resize_nearest
 from .commons import ConvNormRelu, Normalize
 
-__all__ = ['PositionWiseAttention', 'MultiscaleFusionAttention', 'MaNetDecoder', 'MaNet']
+__all__ = ['PositionWiseAttention', 'MultiscaleFusionAttention', 'MaNetDecoder', 'MaNet',
+           'TimmMaNet', 'SmpMaNet']
 
 
 class PositionWiseAttention(nn.Module):
@@ -134,3 +135,28 @@ class MaNet(nn.Module):
         return MaNetDecoder(in_channels_list=list(self.body.out_channels),
                             pab_channels=self.pab_channels,
                             name='decoder')(feats, size=inputs.shape[1:-1], train=train)
+
+
+def TimmMaNet(model_name: str, in_channels: int = 3, pretrained: bool = False,
+              backbone_kwargs: dict = None, **kwargs) -> MaNet:
+    """MA-Net over a host-executed timm encoder (parity: ``cd.models.TimmMaNet``,
+    ``celldetection/models/manet.py``). ``backbone_kwargs['trainable']=True``
+    fine-tunes the encoder via host-side torch autograd."""
+    from .host_encoder import HostEncoder
+    from .timmodels import TimmEncoder
+    bk = dict(backbone_kwargs or {})
+    trainable = bk.pop('trainable', False)
+    enc = TimmEncoder(model_name, in_channels=in_channels, pretrained=pretrained, **bk)
+    return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)
+
+
+def SmpMaNet(model_name: str, in_channels: int = 3, pretrained: bool = False,
+             backbone_kwargs: dict = None, **kwargs) -> MaNet:
+    """MA-Net over a host-executed smp encoder (parity: ``cd.models.SmpMaNet``)."""
+    from .host_encoder import HostEncoder
+    from .smp import SmpEncoder
+    bk = dict(backbone_kwargs or {})
+    trainable = bk.pop('trainable', False)
+    enc = SmpEncoder(model_name, in_channels=in_channels,
+                     weights='imagenet' if pretrained else None, **bk)
+    return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)

@@ -24,6 +24,9 @@ __all__ = [
     'BasicBlock', 'Bottleneck', 'ResNetEncoder', 'ResNet18', 'ResNet34', 'ResNet50',
     'ResNet101', 'ResNet152', 'ResNeXt50', 'ResNeXt101', 'ResNeXt152', 'WideResNet50',
     'WideResNet101', 'get_resnet',
+    # reference/torchvision spellings (parity: celldetection/models/resnet.py)
+    'ResNeXt50_32x4d', 'ResNeXt101_32x8d', 'ResNeXt152_32x8d',
+    'WideResNet50_2', 'WideResNet101_2',
 ]
 
 
@@ -206,6 +209,13 @@ ResNeXt101 = _resnet((3, 4, 23, 3), True, groups=32, base_width=8)
 ResNeXt152 = _resnet((3, 8, 36, 3), True, groups=32, base_width=8)
 WideResNet50 = _resnet((3, 4, 6, 3), True, base_width=128)
 WideResNet101 = _resnet((3, 4, 23, 3), True, base_width=128)
+
+# Reference/torchvision class spellings
+ResNeXt50_32x4d = ResNeXt50
+ResNeXt101_32x8d = ResNeXt101
+ResNeXt152_32x8d = ResNeXt152
+WideResNet50_2 = WideResNet50
+WideResNet101_2 = WideResNet101
 
 _RESNETS = {
     'ResNet18': ResNet18, 'ResNet34': ResNet34, 'ResNet50': ResNet50,

@@ -23,8 +23,47 @@ import jax.numpy as jnp
 __all__ = [
     'contours2boxes', 'box_area', 'box_iou', 'pairwise_box_iou', 'pairwise_generalized_box_iou',
     'nms_padded', 'nms_chunked', 'nms_indices', 'filter_by_box_voting',
-    'remove_small_boxes_mask',
+    'remove_small_boxes_mask', 'nms', 'batched_box_nmsi',
 ]
+
+
+def nms(boxes, scores, iou_threshold: float):
+    """torchvision-style NMS: keep indices sorted by descending score.
+
+    Reference-compat convenience over :func:`nms_indices` (parity:
+    ``cd.ops.nms``); returns a host numpy index array of the kept boxes.
+    Production code should use :func:`nms_padded` (static shapes, stays
+    on-device).
+    """
+    import numpy as np
+    boxes = jnp.asarray(boxes)
+    valid = jnp.ones(boxes.shape[0], bool)
+    order, keep = nms_indices(boxes, jnp.asarray(scores), valid, iou_threshold)
+    order, keep = np.asarray(order), np.asarray(keep)
+    return order[keep]
+
+
+def batched_box_nmsi(boxes, scores, iou_threshold: float, batch_size: int = None):
+    """Chunked NMS over lists of box/score arrays → list of keep indices.
+
+    Parity: ``cd.ops.batched_box_nmsi`` (``celldetection/ops/cpn.py:189``) —
+    the per-50k-chunk sweep with a cross-chunk final pass. Here each list
+    entry runs through :func:`nms_chunked` (on-device, exact within chunks +
+    final pass) and the kept indices are returned on host.
+    """
+    import numpy as np
+    assert len(boxes) == len(scores)
+    out = []
+    for b, s in zip(boxes, scores):
+        b, s = jnp.asarray(b), jnp.asarray(s)
+        v = jnp.ones(b.shape[0], bool)
+        if batch_size:
+            keep = nms_chunked(b, s, v, iou_threshold, chunk=int(batch_size))
+        else:
+            keep = nms_chunked(b, s, v, iou_threshold)
+        idx = np.flatnonzero(np.asarray(keep))
+        out.append(idx[np.argsort(-np.asarray(s)[idx], kind='stable')])
+    return out
 
 
 def contours2boxes(contours: jnp.ndarray, axis: int = -2) -> jnp.ndarray:

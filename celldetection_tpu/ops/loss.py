@@ -19,8 +19,68 @@ from .boxes import pairwise_box_iou, pairwise_generalized_box_iou, remove_small_
 
 __all__ = [
     'reduce_loss', 'masked_mean', 'log_margin_loss', 'margin_loss', 'iou_loss', 'box_npll_loss',
-    'sigmoid_focal_loss', 'l1_loss', 'bce_with_logits', 'cross_entropy',
+    'sigmoid_focal_loss', 'l1_loss', 'bce_with_logits', 'cross_entropy', 'r1_regularization',
+    'add_to_loss_dict', 'reduce_loss_dict', 'SigmoidFocalLoss', 'IoULoss', 'BoxNpllLoss',
 ]
+
+
+def add_to_loss_dict(d: dict, key: str, loss, weight=None):
+    """Accumulate a (nan-cleaned, optionally weighted) loss term under ``key``
+    (parity: ``add_to_loss_dict``, ``celldetection/util/util.py:282``)."""
+    if loss is None:
+        return
+    loss = jnp.nan_to_num(loss, nan=0., posinf=0., neginf=0.)
+    if weight is not None:
+        loss = loss * weight
+    d[key] = loss if d.get(key) is None else d[key] + loss
+
+
+def reduce_loss_dict(losses: dict, divisor, ignore_prefix: str = '_'):
+    """Sum non-ignored entries and divide (parity: ``reduce_loss_dict``)."""
+    total = sum(v for k, v in losses.items()
+                if v is not None and not k.startswith(ignore_prefix))
+    return total / divisor
+
+
+def _loss_class(fn, name):
+    """Callable-class spelling of a functional loss (reference exposes both)."""
+    class _Loss:
+        def __init__(self, **defaults):
+            self.defaults = defaults
+
+        def __call__(self, *args, **kwargs):
+            return fn(*args, **{**self.defaults, **kwargs})
+
+        def __repr__(self):
+            return f'{name}({self.defaults})'
+    _Loss.__name__ = _Loss.__qualname__ = name
+    return _Loss
+
+
+def r1_regularization(fn, params, inputs, gamma: float = 1., reduction: str = 'sum'):
+    """R1 gradient penalty: ``gamma/2 * ||d fn/d inputs||^2`` per batch item.
+
+    JAX adaptation of the reference's ``r1_regularization(logits, inputs)``
+    (``celldetection/ops/loss.py:52``): autograd cannot differentiate from
+    values alone, so the discriminator function and params are passed instead
+    and the input gradient is taken with ``jax.grad``.
+
+    Args:
+        fn: ``fn(params, inputs) -> logits``.
+        params: Parameters for ``fn`` (not differentiated).
+        inputs: ``Array[n, ...]`` inputs to penalize gradients w.r.t.
+        gamma: Penalty weight.
+        reduction: 'sum' or 'mean' over non-batch dims.
+    """
+    import jax
+
+    def scalar_fn(x):
+        return jnp.sum(fn(params, x))
+
+    g = jax.grad(scalar_fn)(inputs)
+    sq = jnp.square(g).reshape(g.shape[0], -1)
+    per_item = sq.sum(-1) if reduction == 'sum' else sq.mean(-1)
+    return gamma * 0.5 * per_item
 
 
 def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], eps: float = 1e-12) -> jnp.ndarray:
@@ -149,3 +209,8 @@ def box_npll_loss(uncertainty: jnp.ndarray, boxes: jnp.ndarray, boxes_targets: j
     iou = pairwise_box_iou(boxes, boxes_targets)
     loss = iou * ((a + b).sum(-1) + 2 * math.log(2 * math.pi))
     return reduce_loss(loss, reduction, mask)
+
+
+SigmoidFocalLoss = _loss_class(sigmoid_focal_loss, 'SigmoidFocalLoss')
+IoULoss = _loss_class(iou_loss, 'IoULoss')
+BoxNpllLoss = _loss_class(box_npll_loss, 'BoxNpllLoss')

@@ -11,7 +11,21 @@ import numpy as np
 import optax
 
 __all__ = ['warmup_schedule', 'sequential_schedule', 'ReduceLROnPlateau',
-           'resolve_rank_factor', 'scaled_lr']
+           'resolve_rank_factor', 'scaled_lr', 'get_warmup_factor', 'WarmUp', 'SequentialLR']
+
+
+def get_warmup_factor(step: int, steps: int = 1000, factor: float = 0.001,
+                      method: str = 'linear') -> float:
+    """Warmup multiplier at ``step`` (parity: ``get_warmup_factor``,
+    ``celldetection/util/util.py:1646``)."""
+    if step >= steps:
+        return 1.
+    if method == 'constant':
+        return factor
+    if method == 'linear':
+        a = step / steps
+        return factor * (1 - a) + a
+    raise ValueError(f'Unknown method: {method}')
 
 
 def warmup_schedule(steps: int, base: float = 1.0) -> Callable[[int], float]:
@@ -83,3 +97,8 @@ def resolve_rank_factor(factor, world_size: int) -> float:
 
 def scaled_lr(lr: float, world_size: int, rank_factor='sqrt') -> float:
     return lr * resolve_rank_factor(rank_factor, world_size)
+
+
+# Reference class spellings (celldetection/optim)
+WarmUp = warmup_schedule
+SequentialLR = sequential_schedule

@@ -14,7 +14,7 @@ import numpy as np
 
 __all__ = ['make_mesh', 'data_sharding', 'replicated', 'get_rank', 'get_num_nodes',
            'shard_inputs_by_process', 'host_all_reduce_sum', 'initialize_distributed',
-           'cpu_count']
+           'cpu_count', 'all_filter']
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -100,6 +100,23 @@ def shard_inputs_by_process(inputs: Sequence, group_level: str = 'rank'):
         rank, n = get_rank(), get_num_nodes()
         return [x for i, x in enumerate(inputs) if i % n == rank]
     raise ValueError(f'Unknown group_level: {group_level}')
+
+
+def all_filter(condition: bool):
+    """Split process ranks by a local boolean condition.
+
+    Parity: MPI ``all_filter`` (``celldetection/mpi/mpi.py:176``) without the
+    comm handle — every process contributes its local ``condition`` and all
+    receive ``(ranks_true, ranks_false)`` sets.
+    """
+    n = get_num_nodes()
+    if n <= 1:
+        return ({0} if condition else set()), (set() if condition else {0})
+    from jax.experimental import multihost_utils
+    flags = np.asarray(multihost_utils.process_allgather(
+        np.asarray([bool(condition)], np.int32))).reshape(-1)
+    keep = {i for i, f in enumerate(flags) if f}
+    return keep, set(range(n)) - keep
 
 
 def host_all_reduce_sum(values: np.ndarray) -> np.ndarray:

@@ -9,7 +9,9 @@ from .logging import MetricsLogger, log_figure
 from .surgery import *
 from .system import *
 from .shm_cache import ShmCache
-from .rois import save_rois, contour2roi_bytes
+from .rois import save_rois, contour2roi_bytes, load_imagej_rois, roi_bytes2contour
 from .misc import *
+from .pretrained import (DEFAULT_MODEL_URLS, resolve_pretrained,
+                         resolve_pretrained_state, apply_pretrained_)
 from . import (config, tiling, timer, io, serialization, torch_import, logging,
-               surgery, system, shm_cache, rois, misc)
+               surgery, system, shm_cache, rois, misc, pretrained)

@@ -10,7 +10,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ['to_h5', 'from_h5', 'to_batched_h5', 'to_json', 'from_json', 'to_yaml',
-           'from_yaml', 'load_image', 'to_tiff', 'img_to_base64', 'base64_to_img']
+           'from_yaml', 'load_image', 'to_tiff', 'img_to_base64', 'base64_to_img',
+           'image_to_base64', 'base64_to_image', 'glob_h5_split']
 
 
 def to_h5(filename, mode: str = 'w', compression=None, attributes: Optional[dict] = None,
@@ -111,3 +112,21 @@ def to_tiff(filename, image: np.ndarray, bigtiff: bool = True, **kwargs):
     except ImportError:
         from imageio.v2 import imwrite
         imwrite(filename, image)
+
+
+# Reference spellings (celldetection/util/util.py)
+def image_to_base64(image, fmt: str = 'png') -> str:
+    return img_to_base64(image, fmt)
+
+
+def base64_to_image(data: str):
+    return base64_to_img(data)
+
+
+def glob_h5_split(pathname: str, ext: str = '-r.h5', **kwargs):
+    """Glob split-HDF5 families, returning names without the split appendix
+    (what ``h5py`` family drivers expect — parity: ``glob_h5_split``,
+    ``celldetection/util/util.py:1983``)."""
+    import glob as _glob
+    pattern = pathname if pathname.endswith(ext) else pathname + ext
+    return [f[:-len(ext)] for f in _glob.glob(pattern, **kwargs)]

@@ -20,7 +20,7 @@ import numpy as np
 
 __all__ = ['DEFAULT_MODEL_URLS', 'adapt_first_conv', 'translate_torchvision_resnet',
            'translate_torchvision_densenet', 'translate_torchvision_convnext',
-           'resolve_pretrained_state', 'apply_pretrained_']
+           'resolve_pretrained_state', 'resolve_pretrained', 'apply_pretrained_']
 
 # torchvision ImageNet checkpoints (same table as the reference,
 # celldetection/models/resnet.py:15-25 — public download.pytorch.org URLs).
@@ -241,6 +241,10 @@ def resolve_pretrained_state(spec, model_name: str = '') -> Dict[str, np.ndarray
     if 'state_dict' in data and not any(k.startswith(('conv1', 'layer')) for k in data):
         data = data['state_dict']
     return {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v) for k, v in data.items()}
+
+
+# Reference spelling (celldetection/util/util.py resolve_pretrained)
+resolve_pretrained = resolve_pretrained_state
 
 
 def apply_pretrained_(model, spec) -> None:

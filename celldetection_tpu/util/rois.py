@@ -10,7 +10,7 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ['contour2roi_bytes', 'save_rois']
+__all__ = ['contour2roi_bytes', 'roi_bytes2contour', 'save_rois', 'load_imagej_rois']
 
 _HEADER_SIZE = 64
 _POLYGON = 0
@@ -46,3 +46,26 @@ def save_rois(filename: str, contours: Sequence[np.ndarray]):
         for i, con in enumerate(contours):
             z.writestr(f'{i + 1:04d}.roi', contour2roi_bytes(con))
     return filename
+
+
+def roi_bytes2contour(data: bytes) -> np.ndarray:
+    """ImageJ polygon ``.roi`` bytes → (num_points, 2) xy contour (inverse of
+    :func:`contour2roi_bytes`; parity: ``load_imagej_rois``,
+    ``celldetection/util/util.py``)."""
+    if data[:4] != b'Iout':
+        raise ValueError('Not an ImageJ ROI (missing Iout magic)')
+    top, left = struct.unpack_from('>hh', data, 8)
+    n, = struct.unpack_from('>H', data, 16)
+    xs = np.frombuffer(data, '>i2', n, _HEADER_SIZE).astype(np.int64) + left
+    ys = np.frombuffer(data, '>i2', n, _HEADER_SIZE + 2 * n).astype(np.int64) + top
+    return np.stack([xs, ys], -1).astype(float)
+
+
+def load_imagej_rois(filename: str):
+    """Load contours from an ImageJ ROI ``.zip`` set or a single ``.roi``."""
+    if filename.endswith('.roi'):
+        with open(filename, 'rb') as f:
+            return [roi_bytes2contour(f.read())]
+    with zipfile.ZipFile(filename) as z:
+        return [roi_bytes2contour(z.read(name)) for name in sorted(z.namelist())
+                if name.endswith('.roi')]

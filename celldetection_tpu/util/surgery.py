@@ -13,7 +13,8 @@ import numpy as np
 
 __all__ = ['iter_params', 'match_paths', 'map_params', 'replace_params', 'freeze_mask',
            'frozen_optimizer', 'ema_update', 'count_params', 'spectral_normalize',
-           'weight_normalize']
+           'weight_normalize', 'spectral_norm_', 'weight_norm_',
+           'exponential_moving_average_']
 
 
 def _flat(tree):
@@ -135,3 +136,9 @@ def ema_update(ema_params, new_params, decay: float = 0.999):
 
 def count_params(params) -> int:
     return sum(int(np.prod(np.shape(v))) for v in jax.tree_util.tree_leaves(params))
+
+
+# Reference spellings (celldetection/util/util.py) for the param transforms.
+spectral_norm_ = spectral_normalize
+weight_norm_ = weight_normalize
+exponential_moving_average_ = ema_update

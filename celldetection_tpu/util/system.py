@@ -11,7 +11,23 @@ import random
 import numpy as np
 
 __all__ = ['random_seed', 'Bytes', 'Percent', 'TpuStats', 'GpuStats', 'OomCatcher',
-           'get_total_memory', 'save_random_states', 'load_random_states']
+           'get_total_memory', 'save_random_states', 'load_random_states',
+           'num_bytes', 'get_random_states']
+
+
+def num_bytes(x) -> int:
+    """Size in bytes of an ndarray / jax array (parity: ``num_bytes``,
+    ``celldetection/util/util.py:1678``)."""
+    shape = np.shape(x)
+    itemsize = getattr(getattr(x, 'dtype', None), 'itemsize', None)
+    if itemsize is None:
+        itemsize = np.asarray(x).dtype.itemsize
+    return int(np.prod(shape)) * int(itemsize)
+
+
+def get_random_states() -> dict:
+    """Current host RNG states as a dict (parity: ``get_random_states``)."""
+    return {'random': random.getstate(), 'numpy': np.random.get_state()}
 
 
 def random_seed(seed: int, deterministic: bool = True):

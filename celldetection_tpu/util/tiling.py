@@ -10,7 +10,18 @@ from typing import Sequence, Union
 
 import numpy as np
 
-__all__ = ['Tiling', 'get_tiling_slices', 'ensure_num_tuple']
+__all__ = ['Tiling', 'get_tiling_slices', 'ensure_num_tuple', 'calculate_padding']
+
+
+def calculate_padding(input_size: int, kernel_size: int, stride: int, dilation: int,
+                      padding_mode: str = 'same') -> int:
+    """Conv padding for 'same'/'valid' modes (parity: ``calculate_padding``,
+    ``celldetection/util/util.py:2353``)."""
+    if padding_mode == 'same':
+        return ((input_size - 1) * (stride - 1) + dilation * (kernel_size - 1)) // 2
+    if padding_mode == 'valid':
+        return 0
+    raise ValueError(f'Unsupported padding mode: {padding_mode!r}')
 
 
 def ensure_num_tuple(v, n: int):

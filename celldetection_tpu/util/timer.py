@@ -9,7 +9,17 @@ from contextlib import contextmanager
 
 import jax
 
-__all__ = ['start_timer', 'stop_timer', 'timed', 'Timer', 'profiler_trace']
+__all__ = ['start_timer', 'stop_timer', 'timed', 'Timer', 'profiler_trace', 'print_timing']
+
+
+def print_timing(name: str, seconds: float):
+    """Human-scaled aligned timing line (parity: ``print_timing``,
+    ``celldetection/util/timer.py:37``)."""
+    for unit, scale in (('s', 1.), ('ms', 1e3), ('us', 1e6)):
+        if seconds * scale >= 1 or unit == 'us':
+            val = round(seconds * scale, 3)
+            print(f'{name}:'.ljust(76 - len(str(val))), val, unit)
+            return
 
 _TIMERS = {}
 
