@@ -85,8 +85,8 @@ class MambaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        n, h, w, c = x.shape
-        seq = x.reshape(n, h * w, c)
+        n, spatial, c = x.shape[0], x.shape[1:-1], x.shape[-1]
+        seq = x.reshape(n, -1, c)
         seq_n = nn.LayerNorm(name='norm')(seq)
         out = Mamba(self.d_state, self.d_conv, self.expand, name='mamba')(seq_n, train)
-        return (seq + out).reshape(n, h, w, c)
+        return (seq + out).reshape(n, *spatial, c)

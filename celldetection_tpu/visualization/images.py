@@ -9,8 +9,9 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ['imshow', 'imshow_row', 'imshow_grid', 'plot_contours', 'plot_boxes', 'plot_score',
-           'plot_text', 'plot_mask', 'show_detection', 'quiver_plot', 'figure2img', 'save_fig']
+__all__ = ['imshow', 'imshow_row', 'imshow_grid', 'imshow_col', 'plot_contours', 'plot_boxes',
+           'plot_score', 'plot_text', 'plot_mask', 'show_detection', 'quiver_plot',
+           'figure2img', 'save_fig', 'get_axes', 'plot_zstack', 'plot_gif']
 
 
 def _plt():
@@ -156,3 +157,57 @@ def save_fig(filename, fig=None, close=True, **kwargs):
     fig.savefig(filename, bbox_inches='tight', **kwargs)
     if close:
         plt.close(fig)
+
+
+def imshow_col(*images, figsize=(9, 16), titles=None, **kwargs):
+    """Images stacked vertically (parity: ``imshow_col``,
+    ``celldetection/visualization/images.py:340``)."""
+    plt = _plt()
+    fig, axes = plt.subplots(len(images), 1, figsize=figsize)
+    if len(images) == 1:
+        axes = [axes]
+    for i, (ax, im) in enumerate(zip(axes, images)):
+        imshow(im, ax=ax, **kwargs)
+        if titles:
+            ax.set_title(titles[i])
+    return fig
+
+
+def get_axes(fig=None):
+    """All axes of a figure (current figure by default — parity:
+    ``get_axes``, ``celldetection/visualization/images.py:78``)."""
+    plt = _plt()
+    return (fig or plt.gcf()).get_axes()
+
+
+def plot_zstack(stack, project=None, cols=4, titles=None, figsize=(16, 9), **kwargs):
+    """Show a z-stack as a grid of slices, or as one projection.
+
+    Parity: ``plot_zstack`` (``celldetection/visualization/images.py:365``).
+
+    Args:
+        stack: ``Array[z, h, w(, c)]``.
+        project: Optional reduction over z ('max', 'mean', or callable).
+        cols: Grid columns when showing all slices.
+    """
+    stack = np.asarray(stack)
+    if project is not None:
+        fn = {'max': np.max, 'mean': np.mean}.get(project, project)
+        return imshow(fn(stack, axis=0), **kwargs)
+    return imshow_grid(list(stack), cols=cols, figsize=figsize, **kwargs)
+
+
+def plot_gif(*frames, fn=None, interval=200, **kwargs):
+    """Animate frames; optionally save as GIF via ``fn`` (parity:
+    ``plot_gif``, ``celldetection/visualization/images.py:395``)."""
+    plt = _plt()
+    from matplotlib import animation
+
+    fig = plt.figure()
+    ax = fig.add_subplot(1, 1, 1)
+    ax.axis('off')
+    ims = [[ax.imshow(np.asarray(f).squeeze(), animated=True, **kwargs)] for f in frames]
+    ani = animation.ArtistAnimation(fig, ims, interval=interval, blit=True)
+    if fn is not None:
+        ani.save(fn, writer=animation.PillowWriter(fps=max(1, int(1000 / interval))))
+    return ani

@@ -220,3 +220,17 @@ def test_misc_system_compat(tmp_path):
 
     assert not is_ipython()
     assert is_package_installed('jax') and not is_package_installed('definitely_not_a_pkg')
+
+
+def test_visualization_compat(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    from celldetection_tpu.visualization import imshow_col, get_axes, plot_zstack, plot_gif
+
+    f = imshow_col(np.zeros((8, 8)), np.ones((8, 8)), titles=['a', 'b'])
+    assert len(get_axes(f)) == 2
+    plot_zstack(np.random.rand(6, 8, 8))
+    plot_zstack(np.random.rand(6, 8, 8), project='max')
+    gif = tmp_path / 'x.gif'
+    plot_gif(np.zeros((4, 4)), np.ones((4, 4)), fn=str(gif))
+    assert gif.stat().st_size > 0
