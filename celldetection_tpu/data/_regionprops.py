@@ -16,10 +16,11 @@ __all__ = ['RegionProps', 'regionprops', 'connected_label']
 class RegionProps:
     """One labeled region. ``bbox`` follows skimage order (min_row, min_col[, ...], max_row, max_col[, ...])."""
 
-    def __init__(self, label: int, sl, labels: np.ndarray):
+    def __init__(self, label: int, sl, labels: np.ndarray, spacing=None):
         self.label = int(label)
         self._sl = sl
         self._labels = labels
+        self._spacing = None if spacing is None else np.asarray(spacing, float)
 
     @property
     def bbox(self):
@@ -37,15 +38,23 @@ class RegionProps:
         return np.argwhere(self.image) + offset
 
     @property
-    def area(self) -> int:
-        return int(self.image.sum())
+    def area(self):
+        """Pixel count, scaled to physical units when ``spacing`` is set."""
+        n = int(self.image.sum())
+        if self._spacing is None:
+            return n
+        return float(n * np.prod(self._spacing))
 
     @property
     def centroid(self):
-        return tuple(self.coords.mean(0))
+        """Center of mass; in physical units when ``spacing`` is set."""
+        c = self.coords.mean(0)
+        if self._spacing is not None:
+            c = c * self._spacing
+        return tuple(c)
 
 
-def regionprops(labels: np.ndarray) -> List[RegionProps]:
+def regionprops(labels: np.ndarray, spacing=None) -> List[RegionProps]:
     """Region properties of positive labels in a label image (any ndim)."""
     labels = np.asarray(labels)
     if labels.size == 0:
@@ -59,7 +68,7 @@ def regionprops(labels: np.ndarray) -> List[RegionProps]:
     for lbl, sl in enumerate(slices, 1):
         if sl is None:
             continue
-        out.append(RegionProps(lbl, sl, pos))
+        out.append(RegionProps(lbl, sl, pos, spacing=spacing))
     return out
 
 

@@ -171,10 +171,11 @@ def pad_to_div(v: np.ndarray, div: int = 32, nd: int = 2, **kwargs) -> np.ndarra
     return pad_to_size(v, size, **kwargs)
 
 
-def labels2properties(labels: np.ndarray, *properties, offset=(0, 0)):
+def labels2properties(labels: np.ndarray, *properties, offset=(0, 0), spacing=None):
     """Per-region property rows for the requested property names.
 
-    Supported: label, bbox, image, coords, area, centroid.
+    Supported: label, bbox, image, coords, area, centroid. ``spacing`` scales
+    area/centroid to physical units (parity: regionprops ``spacing``).
     """
     from ._regionprops import regionprops
     if len(properties) == 1 and isinstance(properties[0], (list, tuple)):
@@ -183,7 +184,7 @@ def labels2properties(labels: np.ndarray, *properties, offset=(0, 0)):
         labels = labels[..., None]
     rows = []
     for z in range(labels.shape[2]):
-        for p in regionprops(labels[..., z]):
+        for p in regionprops(labels[..., z], spacing=spacing):
             row = []
             for name in properties:
                 v = getattr(p, name)

@@ -404,7 +404,8 @@ class TiledInference:
 
     def __call__(self, image: np.ndarray, score_thresh: Optional[float] = None,
                  mask: Optional[np.ndarray] = None,
-                 point_mask: Optional[np.ndarray] = None) -> dict:
+                 point_mask: Optional[np.ndarray] = None,
+                 point_mask_exclusive: bool = False) -> dict:
         """Run tiled inference; returns ragged numpy results in global coords.
 
         Args:
@@ -413,6 +414,9 @@ class TiledInference:
                 ``cpn_inference.py:94-111``).
             point_mask: Optional prompt mask; scores forced up at marked
                 pixels (score lower bound).
+            point_mask_exclusive: Only detect at marked points — the point
+                mask also becomes the score *upper* bound, and point-empty
+                tiles are skipped (parity: ``cpn_inference.py:110-111``).
         """
         use_bounds = mask is not None or point_mask is not None
         if use_bounds and getattr(self, '_fn_bounds', None) is None:
@@ -434,12 +438,17 @@ class TiledInference:
                 return cts[..., :1]
             upper_tiles = crop_tiles(mask)
             lower_tiles = crop_tiles(point_mask)
-            if mask is not None:
-                nonempty = upper_tiles.reshape(upper_tiles.shape[0], -1).max(-1) > 0
+            if point_mask_exclusive and lower_tiles is not None:
+                upper_tiles = lower_tiles  # only point-marked pixels may score
+            skip_src = upper_tiles if mask is not None else (
+                lower_tiles if point_mask_exclusive else None)
+            if skip_src is not None:
+                nonempty = skip_src.reshape(skip_src.shape[0], -1).max(-1) > 0
                 tiles = tiles[nonempty]
                 offsets, borders, overlaps = (offsets[nonempty], borders[nonempty],
                                               overlaps[nonempty])
-                upper_tiles = upper_tiles[nonempty]
+                if upper_tiles is not None:
+                    upper_tiles = upper_tiles[nonempty]
                 if lower_tiles is not None:
                     lower_tiles = lower_tiles[nonempty]
         t = tiles.shape[0]

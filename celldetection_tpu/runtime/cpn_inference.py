@@ -130,6 +130,11 @@ def cpn_inference(
         demo_figure: bool = False, continue_on_exception: bool = False,
         reps: int = 1,
         accelerator: Optional[str] = None, devices=None, num_nodes: int = 1,
+        grayscale: bool = False, inputs_method: str = 'imageio', separator: str = '::',
+        inputs_dataset: Optional[str] = None, masks_dataset: Optional[str] = None,
+        point_masks_dataset: Optional[str] = None, point_mask_exclusive: bool = False,
+        skip_existing: bool = False, truncated_images: bool = False,
+        model_kwargs: Optional[str] = None, spacing=None,
 ):
     """Run tiled CPN inference on large input images.
 
@@ -166,11 +171,19 @@ def cpn_inference(
 
     os.makedirs(outputs, exist_ok=True)
 
+    if truncated_images:
+        try:
+            from PIL import ImageFile
+            ImageFile.LOAD_TRUNCATED_IMAGES = True
+        except ImportError:
+            pass
+
     # Resolve model(s) (+ optional precision/overrides). Multiple models form
     # an ensemble: per-model tiled inference, box voting >= min_vote, final
     # NMS (parity: cpn_inference.py:419-427).
+    mk = json.loads(model_kwargs) if model_kwargs else {}
     model_list = model if isinstance(model, (list, tuple)) else [model]
-    model_list = [resolve_model(m, model_parameters) for m in model_list]
+    model_list = [resolve_model(m, model_parameters, **mk) for m in model_list]
     for m in model_list:
         if precision in ('bf16', 'bfloat16', '16'):
             m.compute_dtype = jnp.bfloat16
@@ -222,11 +235,19 @@ def cpn_inference(
         name = (os.path.splitext(os.path.basename(src))[0]
                 if isinstance(src, str) else f'array{src_idx}')
         try:
-            img = load_image(src) if isinstance(src, str) else src
+            out_fn = os.path.join(outputs, f'{name}.h5')
+            if skip_existing and os.path.isfile(out_fn):
+                continue
+            img = load_image(src, method=inputs_method, separator=separator,
+                             dataset=inputs_dataset) if isinstance(src, str) else src
+            if grayscale and img.ndim == 3 and img.shape[-1] > 1:
+                img = img.mean(-1)
             img = preprocess(img, percentile=percentile, gamma=gamma, contrast=contrast,
                              brightness=brightness, to_rgb=to_rgb)
-            mask = load_image(mask_list[src_idx]) if mask_list else None
-            pmask = load_image(point_list[src_idx]) if point_list else None
+            mask = load_image(mask_list[src_idx], separator=separator,
+                              dataset=masks_dataset) if mask_list else None
+            pmask = load_image(point_list[src_idx], separator=separator,
+                               dataset=point_masks_dataset) if point_list else None
             multi = (jax.process_count() > 1 and group_level == 'job'
                      and mask is None and pmask is None and reps == 1)
             if len(tiled_list) == 1:
@@ -240,7 +261,8 @@ def cpn_inference(
                     res = tta_inference(tiled, img, reps=reps, mask=mask,
                                         point_mask=pmask)
                 else:
-                    res = tiled(img, mask=mask, point_mask=pmask)
+                    res = tiled(img, mask=mask, point_mask=pmask,
+                                point_mask_exclusive=point_mask_exclusive)
             else:
                 res = _ensemble(tiled_list, img, mask, pmask, min_vote,
                                 model.nms_thresh, reps=reps)
@@ -250,7 +272,6 @@ def cpn_inference(
                 # writes, cpn_inference.py:798-863)
                 results.append(res)
                 continue
-            out_fn = os.path.join(outputs, f'{name}.h5')
             to_h5(out_fn,
                   contours=res['contours'], scores=res['scores'], boxes=res['boxes'],
                   classes=res['classes'],
@@ -270,7 +291,7 @@ def cpn_inference(
                         to_h5(out_fn, mode='a', flat_labels=flat)
                     if properties:
                         import pandas as pd
-                        rows = labels2properties(flat, *properties)
+                        rows = labels2properties(flat, *properties, spacing=spacing)
                         pd.DataFrame(rows, columns=properties).to_csv(
                             os.path.join(outputs, f'{name}.csv'), index=False)
             if overlay:
@@ -332,6 +353,26 @@ def main():
     p.add_argument('--accelerator', default=None)
     p.add_argument('--devices', type=int, default=None)
     p.add_argument('--num_nodes', type=int, default=1)
+    p.add_argument('--min_vote', type=int, default=1,
+                   help='Ensemble box voting: min models that must agree')
+    p.add_argument('--grayscale', action='store_true',
+                   help='Convert multi-channel inputs to grayscale')
+    p.add_argument('--inputs_method', default='imageio', choices=['imageio', 'tifffile'])
+    p.add_argument('--separator', default='::', help='h5 key separator in input names')
+    p.add_argument('--inputs_dataset', default=None, help='Default h5 key for inputs')
+    p.add_argument('--masks_dataset', default=None, help='Default h5 key for masks')
+    p.add_argument('--point_masks_dataset', default=None,
+                   help='Default h5 key for point masks')
+    p.add_argument('--point_mask_exclusive', action='store_true',
+                   help='Only detect at point-marked pixels')
+    p.add_argument('--skip_existing', action='store_true',
+                   help='Skip inputs whose output h5 already exists')
+    p.add_argument('--truncated_images', action='store_true',
+                   help='Tolerate truncated image files (PIL)')
+    p.add_argument('--model_kwargs', default=None,
+                   help='JSON kwargs for model construction')
+    p.add_argument('--spacing', type=float, nargs='+', default=None,
+                   help='Physical pixel spacing for property export')
     args = vars(p.parse_args())
     cpn_inference(**{k: v for k, v in args.items()})
 

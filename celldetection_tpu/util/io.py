@@ -94,12 +94,27 @@ def from_yaml(filename):
         return yaml.safe_load(f)
 
 
-def load_image(filename) -> np.ndarray:
-    """Load an image file (tiff/png/jpg/...) or an ``.h5::key`` reference."""
+def load_image(filename, method: str = 'imageio', separator: str = '::',
+               dataset: Optional[str] = None) -> np.ndarray:
+    """Load an image file (tiff/png/jpg/...) or an ``.h5<separator>key`` ref.
+
+    Args:
+        method: Reading backend for plain images — 'imageio' (default) or
+            'tifffile' (parity: CLI ``--inputs_method``).
+        separator: h5 key separator (parity: CLI ``--separator``).
+        dataset: Default h5 key for ``.h5`` inputs given without a key
+            (parity: CLI ``--inputs_dataset``).
+    """
     name = str(filename)
-    if '.h5' in name and '::' in name:
-        fn, key = name.split('::')
-        return from_h5(fn, key)
+    if '.h5' in name:
+        if separator in name:
+            fn, key = name.split(separator)
+            return from_h5(fn, key)
+        if dataset is not None:
+            return from_h5(name, dataset)
+    if method == 'tifffile':
+        import tifffile
+        return np.asarray(tifffile.imread(name))
     from imageio.v2 import imread
     return np.asarray(imread(name))
 

@@ -64,3 +64,37 @@ def test_tta_inference(model):
     assert out['num_tiles'] == 4 * base['num_tiles']
     if len(out['contours']):
         assert out['contours'][..., 0].max() < 96 and out['contours'][..., 1].max() < 96
+
+
+def test_point_mask_exclusive_skips_and_bounds(model):
+    from celldetection_tpu.parallel import TiledInference
+    img = np.random.RandomState(3).rand(128, 128).astype(np.float32)
+    pmask = np.zeros((128, 128), np.float32)
+    pmask[8:24, 8:24] = 1.  # only in the first tile
+    tiled = TiledInference(model, tile_size=64, stride=64)
+    out = tiled(img, point_mask=pmask, point_mask_exclusive=True, score_thresh=0.5)
+    # point-empty tiles are skipped entirely (4-tile grid, 1 tile has points)
+    assert out['num_tiles'] == 1
+    # exclusive: every detection must touch the marked region
+    for box in out['boxes']:
+        x0, y0, x1, y1 = box
+        assert x0 < 24 and y0 < 24, (box, 'detection outside exclusive point region')
+
+
+def test_load_image_h5_dataset_and_separator(tmp_path):
+    from celldetection_tpu.util.io import load_image, to_h5
+    img = np.random.RandomState(0).rand(8, 8).astype(np.float32)
+    fn = str(tmp_path / 'x.h5')
+    to_h5(fn, data=img)
+    np.testing.assert_allclose(load_image(fn + '::data'), img)
+    np.testing.assert_allclose(load_image(fn, dataset='data'), img)
+    np.testing.assert_allclose(load_image(f'{fn}##data', separator='##'), img)
+
+
+def test_labels2properties_spacing():
+    from celldetection_tpu.data.misc import labels2properties
+    labels = np.zeros((10, 10), 'int32')
+    labels[2:6, 2:6] = 1
+    (a_px,), (a_um,) = (labels2properties(labels, 'area'),
+                        labels2properties(labels, 'area', spacing=(0.5, 0.5)))
+    assert a_px == 16 and abs(a_um - 4.0) < 1e-9
