@@ -825,6 +825,21 @@ def _register_backbone_cpns():
         models_by_name[nm] = cpn_fn
         globals()[nm] = cpn_fn
         __all__.append(nm)
+
+    # Fixed-encoder spelling: MiT-B5 MaNet (parity: CpnMiTB5MaNet,
+    # celldetection/models/cpn.py:1718 — SmpMaNet with model_name='mit_b5').
+    _smp_manet_cpn = models_by_name['CpnSmpMaNet']
+
+    def CpnMiTB5MaNet(in_channels: int, backbone_kwargs: dict = None, **kwargs):
+        m = _smp_manet_cpn(in_channels, model_name='mit_b5',
+                           backbone_kwargs=backbone_kwargs, **kwargs)
+        m.hparams['model'] = 'CpnMiTB5MaNet'
+        return m
+
+    CpnMiTB5MaNet.__name__ = 'CpnMiTB5MaNet'
+    models_by_name['CpnMiTB5MaNet'] = CpnMiTB5MaNet
+    globals()['CpnMiTB5MaNet'] = CpnMiTB5MaNet
+    __all__.append('CpnMiTB5MaNet')
     specs = {k: v for k, v in specs.items() if v is not None}
 
     def make(cpn_name, backbone_fn):

@@ -279,6 +279,10 @@ def test_timm_smp_cpns_gated():
         assert name in _m.models_by_name
         with _pytest.raises(ImportError):
             _m.get_cpn(name)(3, model_name='resnet18')
+    # fixed-encoder spelling: no model_name arg (parity with the reference class)
+    assert 'CpnMiTB5MaNet' in _m.models_by_name
+    with _pytest.raises(ImportError):
+        _m.get_cpn('CpnMiTB5MaNet')(3)
 
 
 def test_replay_cache():
