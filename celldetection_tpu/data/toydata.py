@@ -8,7 +8,53 @@ channelled label image suitable for :class:`CPNTargetGenerator`.
 import cv2
 import numpy as np
 
-__all__ = ['random_geometric_objects', 'synthetic_cells']
+__all__ = ['random_geometric_objects', 'synthetic_cells',
+           'random_circle', 'random_ellipse', 'random_rectangle', 'random_triangle']
+
+
+def _paint(image, mask, color):
+    """Apply the filled mask to the image with the given color/intensity."""
+    sel = mask > 0
+    if image.ndim == 3:
+        image[sel] = color
+    else:
+        image[sel] = np.maximum(image[sel], float(np.mean(color)) if np.ndim(color) else color)
+    return image, mask
+
+
+def random_circle(image, mask, x, y, color, radius_range=(3, 28), rng=None):
+    """Draw a random filled circle at (x, y); returns (image, mask).
+
+    Interface parity: ``celldetection/data/toydata.py:40``.
+    """
+    rng = rng or np.random
+    r = int(rng.randint(*radius_range))
+    cv2.circle(mask, (int(x), int(y)), r, 1, -1)
+    return _paint(image, mask, color)
+
+
+def random_ellipse(image, mask, x, y, color, radius_range=(3, 28), rng=None):
+    rng = rng or np.random
+    axes = (int(rng.randint(*radius_range)), int(rng.randint(*radius_range)))
+    angle = float(rng.randint(0, 180))
+    cv2.ellipse(mask, (int(x), int(y)), axes, angle, 0, 360, 1, -1)
+    return _paint(image, mask, color)
+
+
+def random_rectangle(image, mask, x, y, color, radius_range=(3, 28), rng=None):
+    rng = rng or np.random
+    w, h = rng.randint(*radius_range), rng.randint(*radius_range)
+    cv2.rectangle(mask, (int(x - w), int(y - h)), (int(x + w), int(y + h)), 1, -1)
+    return _paint(image, mask, color)
+
+
+def random_triangle(image, mask, x, y, color, radius_range=(3, 28), rng=None):
+    rng = rng or np.random
+    r = rng.randint(*radius_range)
+    angles = np.sort(rng.rand(3) * 2 * np.pi)
+    pts = np.stack([x + r * np.cos(angles), y + r * np.sin(angles)], -1)
+    cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return _paint(image, mask, color)
 
 
 def random_geometric_objects(height: int = 256, width: int = 256, num: int = 24,

@@ -9,7 +9,7 @@ integer coordinates are scattered once — a single static-shape scatter op.
 """
 import jax.numpy as jnp
 
-__all__ = ['draw_contours']
+__all__ = ['draw_contours', 'draw_contours_']
 
 
 def draw_contours(canvas: jnp.ndarray, contours: jnp.ndarray, val=None,
@@ -54,3 +54,8 @@ def draw_contours(canvas: jnp.ndarray, contours: jnp.ndarray, val=None,
         return out[:h * w].reshape(h, w)
     out = canvas.reshape(-1).at[flat_idx].set(vals.reshape(-1))
     return out.reshape(h, w)
+
+
+# Reference spelling (``draw_contours_``, celldetection/ops/draw.py:4). JAX
+# arrays are immutable, so the "in-place" form returns the updated canvas.
+draw_contours_ = draw_contours

@@ -234,3 +234,15 @@ def test_visualization_compat(tmp_path):
     gif = tmp_path / 'x.gif'
     plot_gif(np.zeros((4, 4)), np.ones((4, 4)), fn=str(gif))
     assert gif.stat().st_size > 0
+
+
+def test_toydata_shape_generators():
+    from celldetection_tpu.data import toydata as td
+
+    img = np.zeros((64, 64, 3), 'uint8') + 255
+    rng = np.random.RandomState(0)
+    for fn in (td.random_circle, td.random_ellipse, td.random_rectangle, td.random_triangle):
+        mask = np.zeros((64, 64), 'uint8')
+        img, mask = fn(img, mask, 32, 32, [100, 50, 20], radius_range=(5, 12), rng=rng)
+        assert mask.sum() > 10, fn.__name__
+        assert (img[mask > 0] != 255).any()
