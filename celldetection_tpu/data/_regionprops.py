@@ -20,7 +20,13 @@ class RegionProps:
         self.label = int(label)
         self._sl = sl
         self._labels = labels
-        self._spacing = None if spacing is None else np.asarray(spacing, float)
+        if spacing is None:
+            self._spacing = None
+        else:
+            # scalar / length-1 spacing is isotropic: broadcast to image ndim
+            # so area scales by spacing**ndim
+            self._spacing = np.broadcast_to(
+                np.atleast_1d(np.asarray(spacing, float)), (labels.ndim,)).copy()
 
     @property
     def bbox(self):

@@ -193,7 +193,12 @@ def labels2properties(labels: np.ndarray, *properties, offset=(0, 0), spacing=No
                 elif name == 'coords' and any(offset):
                     v = v + np.asarray(offset)
                 elif name == 'centroid' and any(offset):
-                    v = (v[0] + offset[0], v[1] + offset[1])
+                    # offset is in pixels; apply before physical scaling
+                    off = np.asarray(offset, float)
+                    if spacing is not None:
+                        off = off * np.broadcast_to(
+                            np.atleast_1d(np.asarray(spacing, float)), off.shape)
+                    v = tuple(np.asarray(v) + off)
                 row.append(v)
             rows.append(row if len(properties) > 1 else row[0])
     return rows
@@ -225,23 +230,41 @@ def split(n: int, *fractions, shuffle: bool = True, seed=None):
     return [np.sort(part) for part in np.split(idx, bounds)]
 
 
-def labels2property_table(labels: np.ndarray, *properties, iter_channels: bool = True):
+def labels2property_table(labels: np.ndarray, *properties, iter_channels: bool = True,
+                          spacing=None, separator: str = '-', **kwargs):
     """Per-region property table as a ``pd.DataFrame`` (parity:
     ``labels2property_table``, ``celldetection/data/misc.py:320``).
 
-    One column per property name (see :func:`labels2properties`); channels of
-    a multi-channel label image are concatenated unless ``iter_channels`` is
-    False (then the stack is processed as-is).
+    Channels of a multi-channel label image are iterated and concatenated
+    unless ``iter_channels`` is False (then the full stack is processed as
+    one n-d label image). Multi-valued properties expand into
+    ``separator``-joined columns (``bbox-0`` ... like regionprops_table);
+    ``spacing`` scales area/centroid to physical units.
     """
     import pandas as pd
+    from ._regionprops import regionprops
     if len(properties) == 1 and isinstance(properties[0], (list, tuple)):
         properties, = properties
-    if not iter_channels and labels.ndim > 2:
-        labels = labels.reshape(labels.shape[0], -1)
-    rows = labels2properties(labels, *properties)
-    if len(properties) == 1:
-        rows = [[r] for r in rows]
-    return pd.DataFrame(rows, columns=list(properties))
+    if iter_channels and labels.ndim > 2:
+        props = []
+        for z in range(labels.shape[2]):
+            props += regionprops(labels[..., z], spacing=spacing)
+    else:
+        props = regionprops(labels, spacing=spacing)
+    columns, data = [], []
+    for p in props:
+        row = {}
+        for name in properties:
+            v = getattr(p, name)
+            if np.ndim(v) == 0 or name == 'coords':
+                row[name] = v
+            else:
+                for i, vi in enumerate(np.asarray(v).reshape(-1)):
+                    row[f'{name}{separator}{i}'] = vi
+        data.append(row)
+        if len(row) > len(columns):
+            columns = list(row)
+    return pd.DataFrame(data, columns=columns or list(properties))
 
 
 def labels2crops(labels: np.ndarray, image: np.ndarray):

@@ -440,10 +440,16 @@ class TiledInference:
             lower_tiles = crop_tiles(point_mask)
             if point_mask_exclusive and lower_tiles is not None:
                 upper_tiles = lower_tiles  # only point-marked pixels may score
-            skip_src = upper_tiles if mask is not None else (
-                lower_tiles if point_mask_exclusive else None)
-            if skip_src is not None:
-                nonempty = skip_src.reshape(skip_src.shape[0], -1).max(-1) > 0
+            # a tile is skipped when its fg-mask crop OR its point-mask crop is
+            # empty (parity: TileLoader returns None for either,
+            # cpn_inference.py:94-107)
+            nonempty = None
+            for skip_src in (upper_tiles, lower_tiles):
+                if skip_src is None:
+                    continue
+                ne = skip_src.reshape(skip_src.shape[0], -1).max(-1) > 0
+                nonempty = ne if nonempty is None else (nonempty & ne)
+            if nonempty is not None:
                 tiles = tiles[nonempty]
                 offsets, borders, overlaps = (offsets[nonempty], borders[nonempty],
                                               overlaps[nonempty])

@@ -74,7 +74,7 @@ def resolve_model(model: Union[str, object], model_parameters: Optional[str] = N
 
 
 def _ensemble(tiled_list, img, mask, pmask, min_vote: int, nms_thresh: float,
-              reps: int = 1) -> dict:
+              reps: int = 1, point_mask_exclusive: bool = False) -> dict:
     """Multi-model ensemble: concat per-model detections, box voting, final NMS."""
     import jax
     import jax.numpy as jnp
@@ -82,10 +82,12 @@ def _ensemble(tiled_list, img, mask, pmask, min_vote: int, nms_thresh: float,
     from ..parallel.tiles import tta_inference
 
     if reps > 1:
-        results = [tta_inference(t, img, reps=reps, mask=mask, point_mask=pmask)
+        results = [tta_inference(t, img, reps=reps, mask=mask, point_mask=pmask,
+                                 point_mask_exclusive=point_mask_exclusive)
                    for t in tiled_list]
     else:
-        results = [t(img, mask=mask, point_mask=pmask) for t in tiled_list]
+        results = [t(img, mask=mask, point_mask=pmask,
+                     point_mask_exclusive=point_mask_exclusive) for t in tiled_list]
     keys = ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier')
     cat = {k: np.concatenate([r[k] for r in results]) for k in keys
            if results[0].get(k) is not None}
@@ -130,9 +132,9 @@ def cpn_inference(
         demo_figure: bool = False, continue_on_exception: bool = False,
         reps: int = 1,
         accelerator: Optional[str] = None, devices=None, num_nodes: int = 1,
-        grayscale: bool = False, inputs_method: str = 'imageio', separator: str = '::',
-        inputs_dataset: Optional[str] = None, masks_dataset: Optional[str] = None,
-        point_masks_dataset: Optional[str] = None, point_mask_exclusive: bool = False,
+        grayscale: bool = False, inputs_method: str = 'imageio', separator: str = '-',
+        inputs_dataset: str = 'image', masks_dataset: str = 'mask',
+        point_masks_dataset: str = 'point_mask', point_mask_exclusive: bool = False,
         skip_existing: bool = False, truncated_images: bool = False,
         model_kwargs: Optional[str] = None, spacing=None,
 ):
@@ -158,13 +160,20 @@ def cpn_inference(
             else raises — there is no CPU/GPU backend here.
         devices: Optionally cap the number of local devices in the mesh.
         num_nodes: Expected process count (validated against the runtime).
+        separator: Column separator for multi-valued region properties in the
+            CSV export (ref default '-'; e.g. ``bbox-0``..``bbox-3``).
+        inputs_dataset / masks_dataset / point_masks_dataset: Default h5 keys
+            for ``.h5`` inputs given without an explicit ``::key``.
+        spacing: Physical pixel spacing (scalar or per-axis) for property
+            export in physical units.
+        point_mask_exclusive: Point mask becomes the score *upper* bound too
+            (detect only at marked points).
 
     Returns:
         List of per-input result dicts.
     """
     import jax.numpy as jnp
     from ..data.cpn import contours2labels, resolve_label_channels, contours2overlay
-    from ..data.misc import labels2properties
     from ..parallel import make_mesh, shard_inputs_by_process
     from ..parallel.tiles import TiledInference
     from ..util.io import load_image, to_h5
@@ -238,15 +247,15 @@ def cpn_inference(
             out_fn = os.path.join(outputs, f'{name}.h5')
             if skip_existing and os.path.isfile(out_fn):
                 continue
-            img = load_image(src, method=inputs_method, separator=separator,
+            img = load_image(src, method=inputs_method,
                              dataset=inputs_dataset) if isinstance(src, str) else src
             if grayscale and img.ndim == 3 and img.shape[-1] > 1:
                 img = img.mean(-1)
             img = preprocess(img, percentile=percentile, gamma=gamma, contrast=contrast,
                              brightness=brightness, to_rgb=to_rgb)
-            mask = load_image(mask_list[src_idx], separator=separator,
+            mask = load_image(mask_list[src_idx],
                               dataset=masks_dataset) if mask_list else None
-            pmask = load_image(point_list[src_idx], separator=separator,
+            pmask = load_image(point_list[src_idx],
                                dataset=point_masks_dataset) if point_list else None
             multi = (jax.process_count() > 1 and group_level == 'job'
                      and mask is None and pmask is None and reps == 1)
@@ -259,13 +268,15 @@ def cpn_inference(
                 elif reps > 1:
                     from ..parallel.tiles import tta_inference
                     res = tta_inference(tiled, img, reps=reps, mask=mask,
-                                        point_mask=pmask)
+                                        point_mask=pmask,
+                                        point_mask_exclusive=point_mask_exclusive)
                 else:
                     res = tiled(img, mask=mask, point_mask=pmask,
                                 point_mask_exclusive=point_mask_exclusive)
             else:
                 res = _ensemble(tiled_list, img, mask, pmask, min_vote,
-                                model.nms_thresh, reps=reps)
+                                model.nms_thresh, reps=reps,
+                                point_mask_exclusive=point_mask_exclusive)
             h, w = img.shape[:2]
             if multi and jax.process_index() != 0:
                 # replicated result; one writer per input (parity: rank 0
@@ -290,10 +301,10 @@ def cpn_inference(
                     if flat_labels:
                         to_h5(out_fn, mode='a', flat_labels=flat)
                     if properties:
-                        import pandas as pd
-                        rows = labels2properties(flat, *properties, spacing=spacing)
-                        pd.DataFrame(rows, columns=properties).to_csv(
-                            os.path.join(outputs, f'{name}.csv'), index=False)
+                        from ..data.misc import labels2property_table
+                        tab = labels2property_table(flat, *properties, spacing=spacing,
+                                                    separator=separator)
+                        tab.to_csv(os.path.join(outputs, f'{name}.csv'), index=False)
             if overlay:
                 ov = contours2overlay(res['contours'], (h, w),
                                       processes=overlay_processes)
@@ -358,10 +369,11 @@ def main():
     p.add_argument('--grayscale', action='store_true',
                    help='Convert multi-channel inputs to grayscale')
     p.add_argument('--inputs_method', default='imageio', choices=['imageio', 'tifffile'])
-    p.add_argument('--separator', default='::', help='h5 key separator in input names')
-    p.add_argument('--inputs_dataset', default=None, help='Default h5 key for inputs')
-    p.add_argument('--masks_dataset', default=None, help='Default h5 key for masks')
-    p.add_argument('--point_masks_dataset', default=None,
+    p.add_argument('--separator', default='-',
+                   help='Column separator for multi-valued region properties in CSVs')
+    p.add_argument('--inputs_dataset', default='image', help='Default h5 key for inputs')
+    p.add_argument('--masks_dataset', default='mask', help='Default h5 key for masks')
+    p.add_argument('--point_masks_dataset', default='point_mask',
                    help='Default h5 key for point masks')
     p.add_argument('--point_mask_exclusive', action='store_true',
                    help='Only detect at point-marked pixels')

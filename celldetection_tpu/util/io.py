@@ -108,9 +108,10 @@ def load_image(filename, method: str = 'imageio', separator: str = '::',
     name = str(filename)
     if '.h5' in name:
         if separator in name:
-            fn, key = name.split(separator)
-            return from_h5(fn, key)
-        if dataset is not None:
+            fn, key = name.rsplit(separator, 1)
+            if fn.endswith('.h5'):
+                return from_h5(fn, key)
+        if name.endswith('.h5') and dataset is not None:
             return from_h5(name, dataset)
     if method == 'tifffile':
         import tifffile

@@ -62,10 +62,20 @@ def roi_bytes2contour(data: bytes) -> np.ndarray:
 
 
 def load_imagej_rois(filename: str):
-    """Load contours from an ImageJ ROI ``.zip`` set or a single ``.roi``."""
+    """Load an ImageJ ROI ``.zip`` set or a single ``.roi``.
+
+    Returns:
+        ``(boxes, contours)`` — ``Array[n, 4]`` xyxy boxes and a list of
+        ``(points, 2)`` contours (parity: ``load_imagej_rois``,
+        ``celldetection/util/util.py:1949-1980``).
+    """
     if filename.endswith('.roi'):
         with open(filename, 'rb') as f:
-            return [roi_bytes2contour(f.read())]
-    with zipfile.ZipFile(filename) as z:
-        return [roi_bytes2contour(z.read(name)) for name in sorted(z.namelist())
-                if name.endswith('.roi')]
+            contours = [roi_bytes2contour(f.read())]
+    else:
+        with zipfile.ZipFile(filename) as z:
+            contours = [roi_bytes2contour(z.read(name)) for name in sorted(z.namelist())
+                        if name.endswith('.roi')]
+    boxes = np.array([[c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
+                      for c in contours], float).reshape(-1, 4)
+    return boxes, contours

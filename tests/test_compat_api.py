@@ -153,13 +153,15 @@ def test_imagej_roi_load_roundtrip(tmp_path):
     cons = [np.array([[5, 5], [20, 5], [20, 15], [5, 15]], float),
             np.array([[30, 30], [40, 30], [35, 45]], float)]
     fn = save_rois(str(tmp_path / 'rois.zip'), cons)
-    back = load_imagej_rois(fn)
-    assert len(back) == 2
+    boxes, back = load_imagej_rois(fn)
+    assert len(back) == 2 and boxes.shape == (2, 4)
     for a, b in zip(cons, back):
         np.testing.assert_allclose(a, b)
+    np.testing.assert_allclose(boxes[0], [5, 5, 20, 15])
 
     fn1 = save_rois(str(tmp_path / 'one.roi'), cons[:1])
-    np.testing.assert_allclose(load_imagej_rois(fn1)[0], cons[0])
+    _, single = load_imagej_rois(fn1)
+    np.testing.assert_allclose(single[0], cons[0])
 
 
 def test_loss_dict_helpers_and_classes():
@@ -246,3 +248,33 @@ def test_toydata_shape_generators():
         img, mask = fn(img, mask, 32, 32, [100, 50, 20], radius_range=(5, 12), rng=rng)
         assert mask.sum() > 10, fn.__name__
         assert (img[mask > 0] != 255).any()
+
+
+def test_property_table_multicolumn_and_scalar_spacing():
+    from celldetection_tpu.data import labels2property_table
+
+    labels = np.zeros((12, 12), 'int32')
+    labels[2:6, 3:7] = 1
+    df = labels2property_table(labels, 'label', 'bbox', separator='-')
+    assert list(df.columns) == ['label', 'bbox-0', 'bbox-1', 'bbox-2', 'bbox-3']
+    assert df['bbox-0'][0] == 2 and df['bbox-1'][0] == 3
+
+    # scalar spacing is isotropic: area scales by s**2 in 2D
+    df = labels2property_table(labels, 'area', spacing=0.5)
+    assert abs(float(df['area'][0]) - 16 * 0.25) < 1e-9
+
+    # iter_channels=False: the stack is one 3D label image (volumetric area)
+    vol = np.zeros((4, 4, 2), 'int32')
+    vol[1:3, 1:3, :] = 1
+    df = labels2property_table(vol, 'area', iter_channels=False)
+    assert int(df['area'][0]) == 8
+
+
+def test_centroid_offset_in_pixel_space():
+    from celldetection_tpu.data.misc import labels2properties
+
+    labels = np.zeros((8, 8), 'int32')
+    labels[0:2, 0:2] = 1  # centroid at (0.5, 0.5) px
+    c = labels2properties(labels, 'centroid', offset=(100, 100), spacing=(0.5, 0.5))[0]
+    # (coords + offset) * spacing = (100.5, 100.5) * 0.5
+    np.testing.assert_allclose(c, (50.25, 50.25))
