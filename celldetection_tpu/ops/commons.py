@@ -188,7 +188,9 @@ def minibatch_std_layer(x: jnp.ndarray, channels: int = 1, group_channels: Optio
     cc, g = c // channels, n // gc
     y = x.reshape(gc, g, h, w, channels, cc)
     y = jnp.sqrt(y.var(0) + epsilon).mean((1, 2, 4), keepdims=True)[..., 0]  # [g,1,1,channels]
-    y = jnp.tile(y[:, None], (1, gc, h, w, 1)).reshape(n, h, w, channels)
+    # element b = i0*g + i1 belongs to group i1 = b % g (the reshape above),
+    # so broadcast stats back with the group axis LAST in the flattening
+    y = jnp.broadcast_to(y[None], (gc, g, h, w, channels)).reshape(n, h, w, channels)
     return jnp.concatenate([x, y], -1)
 
 

@@ -86,19 +86,38 @@ def cpu_count() -> int:
     return os.cpu_count() or 1
 
 
+def _node_topology():
+    """(node_id, num_physical_nodes) for this process.
+
+    Uses the scheduler's environment when present (SLURM_NODEID/SLURM_NNODES
+    — the reference's cluster layer reads the same variables,
+    ``celldetection/util/util.py:2416-2475``); falls back to one process per
+    node (node_id = process index).
+    """
+    import os
+    nid, nn = os.environ.get('SLURM_NODEID'), os.environ.get('SLURM_NNODES')
+    if nid is not None and nn is not None:
+        return int(nid), int(nn)
+    return get_rank(), get_num_nodes()
+
+
 def shard_inputs_by_process(inputs: Sequence, group_level: str = 'rank'):
     """Round-robin input assignment across processes.
 
     Replaces MPI ``group_level`` input sharding
     (``celldetection_scripts/cpn_inference.py:556-581``): ``'rank'`` assigns
-    ``inputs[i]`` to process ``i % num_processes``; ``'job'`` keeps all inputs
-    on every process (single shared job).
+    ``inputs[i]`` to process ``i % num_processes``; ``'node'`` assigns by
+    physical node so co-located processes share the same inputs; ``'job'``
+    keeps all inputs on every process (single shared job).
     """
     if group_level == 'job':
         return list(inputs)
-    if group_level in ('rank', 'node'):
+    if group_level == 'rank':
         rank, n = get_rank(), get_num_nodes()
         return [x for i, x in enumerate(inputs) if i % n == rank]
+    if group_level == 'node':
+        node, n_nodes = _node_topology()
+        return [x for i, x in enumerate(inputs) if i % max(n_nodes, 1) == node]
     raise ValueError(f'Unknown group_level: {group_level}')
 
 

@@ -79,6 +79,9 @@ class TaskServer:
                 continue
             with conn:
                 try:
+                    # accepted sockets don't inherit the listener timeout; a
+                    # stalled worker must not block the whole farm
+                    conn.settimeout(30.0)
                     _recv_msg(conn)  # task request
                     with self._lock:
                         try:
@@ -86,8 +89,9 @@ class TaskServer:
                         except StopIteration:
                             task = _STOP
                     _send_msg(conn, task)
-                except ConnectionError:
-                    pass
+                except (ConnectionError, socket.timeout, OSError, EOFError,
+                        pickle.UnpicklingError):
+                    pass  # drop the connection, keep serving
         srv.close()
 
     def _collect(self):
@@ -100,8 +104,10 @@ class TaskServer:
                 continue
             with conn:
                 try:
+                    conn.settimeout(30.0)
                     self.results.append(_recv_msg(conn))
-                except ConnectionError:
+                except (ConnectionError, socket.timeout, OSError, EOFError,
+                        pickle.UnpicklingError):
                     pass
         srv.close()
 

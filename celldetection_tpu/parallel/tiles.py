@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.boxes import nms_chunked, nms_padded
-from ..ops.cpn import remove_border_contours, filter_contours_by_stitching_rule
 from ..util.tiling import get_tiling_slices
 
 __all__ = ['TiledInference', 'tile_image', 'stitch_detections', 'tta_inference',
@@ -94,7 +93,7 @@ def _stitch_filter(contours, offsets, overlaps, tile_size):
     return ~right_bottom
 
 
-def stitch_detections(det: dict, nms_thresh: float, max_outputs: Optional[int] = None,
+def stitch_detections(det: dict, nms_thresh: float,
                       nms_tile: int = 256, max_candidates: Optional[int] = None,
                       nms_chunk: int = 16384) -> dict:
     """Cross-tile de-dup: flatten ``[T, K]`` and greedy-NMS across tiles.
@@ -143,13 +142,23 @@ def compact_detections(flat: dict, max_outputs: int) -> dict:
     """Device-side compaction: gather the kept detections into a dense
     ``[max_outputs]`` buffer (score-sorted) so only the compacted result needs
     host transfer — the PJRT host link is the bottleneck for gigapixel runs.
+
+    The buffer is always exactly ``max_outputs`` rows (zero-padded with
+    ``valid=False`` when fewer candidates exist): every process must produce
+    the same shape for the multi-host ``process_allgather`` exchange.
     """
+    n = flat['valid'].shape[0]
     order = jnp.argsort(jnp.where(flat['valid'], flat['scores'], -jnp.inf),
                         descending=True)[:max_outputs]
+    pad = max_outputs - order.shape[0]
+    if pad > 0:
+        order = jnp.concatenate([order, jnp.zeros(pad, order.dtype)])
+    row_valid = jnp.arange(max_outputs) < n
     out = {}
-    for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier', 'valid'):
+    for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier'):
         v = flat.get(key)
         out[key] = None if v is None else v[order]
+    out['valid'] = flat['valid'][order] & row_valid
     out['num_valid'] = flat['valid'].sum()
     return out
 
@@ -187,22 +196,25 @@ def tta_inference(tiled: 'TiledInference', image: np.ndarray, reps: int = 4,
         res = tiled(img, **kw)
         total_tiles += res.get('num_tiles', 0)
         cons, boxes, locs = res['contours'].copy(), res['boxes'].copy(), res['locations'].copy()
+        four = res['fourier'].copy()
         if fx:
             cons[..., 0] = (w - 1) - cons[..., 0]
             locs[..., 0] = (w - 1) - locs[..., 0]
             boxes = np.stack([(w - 1) - boxes[:, 2], boxes[:, 1],
                               (w - 1) - boxes[:, 0], boxes[:, 3]], -1)
+            four[..., 0:2] = -four[..., 0:2]  # mirror x: negate (a, b) coeffs
         if fy:
             cons[..., 1] = (h - 1) - cons[..., 1]
             locs[..., 1] = (h - 1) - locs[..., 1]
             boxes = np.stack([boxes[:, 0], (h - 1) - boxes[:, 3],
                               boxes[:, 2], (h - 1) - boxes[:, 1]], -1)
+            four[..., 2:4] = -four[..., 2:4]  # mirror y: negate (c, d) coeffs
         merged['contours'].append(cons)
         merged['boxes'].append(boxes)
         merged['locations'].append(locs)
         merged['scores'].append(res['scores'])
         merged['classes'].append(res['classes'])
-        merged['fourier'].append(res['fourier'])
+        merged['fourier'].append(four)
     cat = {k: np.concatenate(v) for k, v in merged.items()}
     boxes = jnp.asarray(cat['boxes'])
     keep = np.asarray(nms_padded(boxes, jnp.asarray(cat['scores']),
@@ -284,7 +296,11 @@ def multihost_tiled_inference(tiled: 'TiledInference', image: np.ndarray,
     out = {k: cat[k][keep] for k in keys if k != 'valid'}
     out['num_tiles'] = t
     out['num_valid'] = int(keep.sum())
-    out['overflow'] = bool(np.asarray(local['num_valid']) > tiled.max_outputs)
+    # overflow must be identical on every host: gather the per-process flags
+    local_ovf = np.asarray([int(np.asarray(local['num_valid']) > tiled.max_outputs)],
+                           np.int32)
+    out['overflow'] = bool(np.asarray(
+        multihost_utils.process_allgather(local_ovf)).max())
     return out
 
 
@@ -464,7 +480,6 @@ class TiledInference:
                           classes=(), locations=(2,), fourier=(model.order, 4)).items()}
             empty.update(num_tiles=0, num_valid=0, overflow=False)
             return empty
-        bs = self.batch_size
         st = jnp.asarray(model.score_thresh if score_thresh is None else score_thresh,
                          jnp.float32)
 
@@ -472,19 +487,22 @@ class TiledInference:
         # transfer to host (the PJRT host link is slow relative to ICI/HBM).
         # On device OOM the batch size halves and the loop restarts (parity
         # with the reference's OOM failover, cpn_inference.py:171-193).
-        try:
-            chunks = self._run_batches(model, tiles, offsets, borders, overlaps, st, bs,
-                                       upper_tiles, lower_tiles, use_bounds)
-        except Exception as e:
-            if 'RESOURCE_EXHAUSTED' not in str(e) or bs <= 1:
-                raise
-            self.batch_size = max(bs // 2, 1)
-            self._fn = None
-            self._fn_bounds = None
-            self._build(use_bounds)
-            chunks = self._run_batches(model, tiles, offsets, borders, overlaps, st,
-                                       self.batch_size, upper_tiles, lower_tiles,
-                                       use_bounds)
+        n_dev = 1 if self.mesh is None else int(np.prod(self.mesh.devices.shape))
+        while True:
+            try:
+                chunks = self._run_batches(model, tiles, offsets, borders, overlaps,
+                                           st, self.batch_size, upper_tiles,
+                                           lower_tiles, use_bounds)
+                break
+            except Exception as e:
+                # halve in units of the mesh data axis so the batch stays
+                # shardable; give up once at one tile per device
+                if 'RESOURCE_EXHAUSTED' not in str(e) or self.batch_size <= n_dev:
+                    raise
+                self.batch_size = max((self.batch_size // 2) // n_dev * n_dev, n_dev)
+                self._fn = None
+                self._fn_bounds = None
+                self._build(use_bounds)
 
         det = {k: (jnp.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None
                    else None) for k in chunks[0]}

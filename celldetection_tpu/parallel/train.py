@@ -55,6 +55,10 @@ def make_train_step(model, tx: optax.GradientTransformation, mesh=None,
             return out['loss'] * loss_scale, (new_state, out['losses'])
 
         (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if loss_scale != 1.0:
+            # unscale before the optimizer sees them (the scale only protects
+            # the backward pass from underflow)
+            grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {'loss': loss / loss_scale,

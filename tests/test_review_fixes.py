@@ -1,0 +1,151 @@
+"""Regression tests for the round-2 code-review findings (parallel/ops)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_compact_detections_fixed_shape():
+    """The exchange buffer is exactly max_outputs rows on every process,
+    zero-padded with valid=False when fewer candidates exist."""
+    from celldetection_tpu.parallel.tiles import compact_detections
+
+    n, cap = 5, 8
+    flat = {
+        'boxes': jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4),
+        'scores': jnp.asarray([.9, .1, .5, .7, .3]),
+        'valid': jnp.asarray([True, False, True, True, True]),
+        'contours': None, 'classes': None, 'locations': None, 'fourier': None,
+    }
+    out = compact_detections(flat, cap)
+    assert out['boxes'].shape == (cap, 4) and out['valid'].shape == (cap,)
+    assert int(out['valid'].sum()) == 4  # padding rows are invalid
+    assert not bool(out['valid'][n:].any())
+    # larger-than-cap input truncates by score
+    out2 = compact_detections(flat, 3)
+    assert out2['boxes'].shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(out2['scores']), [.9, .7, .5])
+
+
+def test_minibatch_std_group_assignment():
+    """Each batch element's std channel must describe ITS OWN group
+    (membership b % g from the reshape), for 1 < group_channels < n."""
+    from celldetection_tpu.ops.commons import minibatch_std_layer
+
+    n, h, w, c = 4, 2, 2, 3
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    out = np.asarray(minibatch_std_layer(x, channels=1, group_channels=2))
+    assert out.shape == (n, h, w, c + 1)
+    # group of element b: reshape(gc=2, g=2, ...) -> element b in group b % 2
+    xs = np.asarray(x)
+    for grp in (0, 1):
+        members = xs[grp::2]  # elements {grp, grp+2}
+        expect = np.sqrt(members.var(0) + 1e-8).mean()
+        for b in (grp, grp + 2):
+            np.testing.assert_allclose(out[b, ..., -1], expect, rtol=1e-5)
+
+
+def test_train_step_loss_scale_invariance():
+    """loss_scale must not change the parameter update (grads are unscaled
+    before the optimizer)."""
+    import optax
+    from celldetection_tpu import data, models
+    from celldetection_tpu.parallel.train import TrainState, make_train_step
+
+    img, labels = data.random_geometric_objects(64, 64, num=4, radius=(4, 10), seed=0)
+    tgt = data.cpn_targets_single(labels, 8, 5, rng=np.random.RandomState(0))
+    t = data.collate_cpn_targets([tgt], max_instances=8)
+    batch = {'image': img[None, ..., None].astype(np.float32),
+             **{k: v for k, v in t.items() if k != 'num_instances'}}
+
+    def build():
+        m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                          backbone_kwargs=dict(base_channels=8))
+        m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+        return m
+
+    outs = []
+    for scale in (1.0, 256.0):
+        m = build()
+        tx = optax.sgd(1e-2)
+        state = TrainState.create(m, tx)
+        step = make_train_step(m, tx, loss_scale=scale)
+        state, metrics = step(state, dict(batch), jax.random.PRNGKey(1))
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        outs.append((float(metrics['loss']), np.asarray(leaf)))
+    (l1, p1), (l2, p2) = outs
+    assert abs(l1 - l2) < 1e-3 * max(abs(l1), 1)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
+
+
+def test_tta_fourier_mirror_identity():
+    """The coefficient transform TTA applies when un-flipping detections:
+    negating the x (resp. y) coefficient pair + mirroring the location must
+    decode to the mirrored contour. (A fourier left untransformed — the
+    pre-fix behavior — decodes to a mirror image of the true shape.)"""
+    from celldetection_tpu.ops.cpn import fouriers2contours
+
+    rng = np.random.RandomState(0)
+    W = H = 100
+    f = jnp.asarray(rng.randn(5, 4, 4), jnp.float32)
+    loc = jnp.asarray(rng.rand(5, 2) * 80 + 10, jnp.float32)
+    c, _ = fouriers2contours(f, loc, samples=16)
+
+    # x-flip
+    f2 = f.at[..., 0:2].set(-f[..., 0:2])
+    loc2 = loc.at[..., 0].set((W - 1) - loc[..., 0])
+    c2, _ = fouriers2contours(f2, loc2, samples=16)
+    np.testing.assert_allclose(np.asarray(c2[..., 0]), (W - 1) - np.asarray(c[..., 0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c2[..., 1]), np.asarray(c[..., 1]),
+                               rtol=1e-4, atol=1e-4)
+
+    # y-flip
+    f3 = f.at[..., 2:4].set(-f[..., 2:4])
+    loc3 = loc.at[..., 1].set((H - 1) - loc[..., 1])
+    c3, _ = fouriers2contours(f3, loc3, samples=16)
+    np.testing.assert_allclose(np.asarray(c3[..., 1]), (H - 1) - np.asarray(c[..., 1]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c3[..., 0]), np.asarray(c[..., 0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_node_group_sharding(monkeypatch):
+    from celldetection_tpu.parallel.mesh import shard_inputs_by_process
+
+    monkeypatch.setenv('SLURM_NODEID', '1')
+    monkeypatch.setenv('SLURM_NNODES', '2')
+    inputs = list(range(6))
+    got = shard_inputs_by_process(inputs, group_level='node')
+    assert got == [1, 3, 5]  # node 1 of 2, regardless of process count
+    monkeypatch.setenv('SLURM_NODEID', '0')
+    assert shard_inputs_by_process(inputs, group_level='node') == [0, 2, 4]
+
+
+def test_oom_failover_preserves_mesh_divisibility():
+    """Halving under OOM must keep batch_size a multiple of the data axis."""
+    from celldetection_tpu import models
+    from celldetection_tpu.parallel import TiledInference, make_mesh
+
+    m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 32, 32, 1))
+    mesh = make_mesh((4,), ('data',), devices=jax.devices()[:4])
+    tiled = TiledInference(m, tile_size=32, stride=32, batch_size=8, mesh=mesh)
+
+    calls = {'n': 0}
+    real = tiled._run_batches
+
+    def flaky(*a, **kw):
+        calls['n'] += 1
+        if calls['n'] == 1:
+            raise RuntimeError('RESOURCE_EXHAUSTED: fake OOM')
+        return real(*a, **kw)
+
+    tiled._run_batches = flaky
+    img = np.random.RandomState(0).rand(96, 96).astype(np.float32)
+    out = tiled(img, score_thresh=0.5)
+    assert calls['n'] == 2
+    assert tiled.batch_size == 4  # halved 8 -> 4, still divisible by 4 devices
+    assert 'boxes' in out
