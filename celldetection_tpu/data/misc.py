@@ -251,7 +251,17 @@ def labels2property_table(labels: np.ndarray, *properties, iter_channels: bool =
             props += regionprops(labels[..., z], spacing=spacing)
     else:
         props = regionprops(labels, spacing=spacing)
-    columns, data = [], []
+    nd = labels.ndim if not (iter_channels and labels.ndim > 2) else 2
+    # deterministic schema, also for empty tables (vector properties of known
+    # width expand the same way with or without regions)
+    widths = {'bbox': 2 * nd, 'centroid': nd}
+    columns = []
+    for name in properties:
+        if name in widths:
+            columns += [f'{name}{separator}{i}' for i in range(widths[name])]
+        else:
+            columns.append(name)
+    data = []
     for p in props:
         row = {}
         for name in properties:
@@ -262,9 +272,10 @@ def labels2property_table(labels: np.ndarray, *properties, iter_channels: bool =
                 for i, vi in enumerate(np.asarray(v).reshape(-1)):
                     row[f'{name}{separator}{i}'] = vi
         data.append(row)
-        if len(row) > len(columns):
-            columns = list(row)
-    return pd.DataFrame(data, columns=columns or list(properties))
+        for k in row:
+            if k not in columns:
+                columns.append(k)
+    return pd.DataFrame(data, columns=columns)
 
 
 def labels2crops(labels: np.ndarray, image: np.ndarray):

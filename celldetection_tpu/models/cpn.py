@@ -772,17 +772,9 @@ def _register_backbone_cpns():
     # require the optional torch-side packages — reference zoo parity for
     # CpnTimmUNet :2001, CpnSmpUNet :1960, CpnTimmMaNet :2042, CpnSmpMaNet :1919).
     def _host_enc(adapter_name, model_name, in_channels, pretrained, backbone_kwargs):
-        bk = dict(backbone_kwargs or {})
-        trainable = bk.pop('trainable', False)
-        if adapter_name == 'timm':
-            from .timmodels import TimmEncoder
-            enc = TimmEncoder(model_name, in_channels=in_channels,
-                              pretrained=pretrained, **bk)
-        else:
-            from .smp import SmpEncoder
-            enc = SmpEncoder(model_name, in_channels=in_channels,
-                             weights='imagenet' if pretrained else None, **bk)
-        return enc, trainable
+        from .host_encoder import build_host_encoder
+        return build_host_encoder(adapter_name, model_name, in_channels=in_channels,
+                                  pretrained=pretrained, backbone_kwargs=backbone_kwargs)
 
     def _host_unet(adapter_name):
         def ctor(in_channels, out_channels=0, model_name=None, backbone_kwargs=None,
@@ -813,7 +805,11 @@ def _register_backbone_cpns():
             backbone = backbone_fn(in_channels, 0, model_name=model_name,
                                    backbone_kwargs=bb_kwargs, pretrained=pretrained)
             m = CPN(backbone=backbone, **kwargs)
-            m.hparams.update(in_channels=in_channels, model=cpn_name, model_name=model_name)
+            # persist the full rebuild recipe (incl. trainable host encoders)
+            # so save/load round-trips reconstruct the same param tree
+            m.hparams.update(in_channels=in_channels, model=cpn_name,
+                             model_name=model_name,
+                             backbone_kwargs=dict(backbone_kwargs or {}))
             return m
         ctor.__name__ = cpn_name
         return ctor
@@ -831,6 +827,7 @@ def _register_backbone_cpns():
     _smp_manet_cpn = models_by_name['CpnSmpMaNet']
 
     def CpnMiTB5MaNet(in_channels: int, backbone_kwargs: dict = None, **kwargs):
+        kwargs.pop('model_name', None)  # fixed encoder; tolerate saved hparams
         m = _smp_manet_cpn(in_channels, model_name='mit_b5',
                            backbone_kwargs=backbone_kwargs, **kwargs)
         m.hparams['model'] = 'CpnMiTB5MaNet'

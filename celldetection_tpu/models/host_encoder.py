@@ -26,7 +26,32 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ['HostEncoder']
+__all__ = ['HostEncoder', 'build_host_encoder']
+
+
+def build_host_encoder(adapter: str, model_name: str, in_channels: int = 3,
+                       pretrained: bool = False, backbone_kwargs: dict = None):
+    """Construct a timm/smp encoder + the popped ``trainable`` flag.
+
+    Single home for the adapter dispatch shared by the CPN zoo and the
+    standalone Timm/Smp MaNet constructors.
+
+    Returns:
+        ``(encoder, trainable)``.
+    """
+    bk = dict(backbone_kwargs or {})
+    trainable = bk.pop('trainable', False)
+    if adapter == 'timm':
+        from .timmodels import TimmEncoder
+        enc = TimmEncoder(model_name, in_channels=in_channels,
+                          pretrained=pretrained, **bk)
+    elif adapter == 'smp':
+        from .smp import SmpEncoder
+        enc = SmpEncoder(model_name, in_channels=in_channels,
+                         weights='imagenet' if pretrained else None, **bk)
+    else:
+        raise ValueError(f'Unknown host adapter: {adapter!r}')
+    return enc, trainable
 
 
 def _to_torch_nchw(x_np):

@@ -142,21 +142,18 @@ def TimmMaNet(model_name: str, in_channels: int = 3, pretrained: bool = False,
     """MA-Net over a host-executed timm encoder (parity: ``cd.models.TimmMaNet``,
     ``celldetection/models/manet.py``). ``backbone_kwargs['trainable']=True``
     fine-tunes the encoder via host-side torch autograd."""
-    from .host_encoder import HostEncoder
-    from .timmodels import TimmEncoder
-    bk = dict(backbone_kwargs or {})
-    trainable = bk.pop('trainable', False)
-    enc = TimmEncoder(model_name, in_channels=in_channels, pretrained=pretrained, **bk)
+    from .host_encoder import HostEncoder, build_host_encoder
+    enc, trainable = build_host_encoder('timm', model_name, in_channels=in_channels,
+                                        pretrained=pretrained,
+                                        backbone_kwargs=backbone_kwargs)
     return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)
 
 
 def SmpMaNet(model_name: str, in_channels: int = 3, pretrained: bool = False,
              backbone_kwargs: dict = None, **kwargs) -> MaNet:
     """MA-Net over a host-executed smp encoder (parity: ``cd.models.SmpMaNet``)."""
-    from .host_encoder import HostEncoder
-    from .smp import SmpEncoder
-    bk = dict(backbone_kwargs or {})
-    trainable = bk.pop('trainable', False)
-    enc = SmpEncoder(model_name, in_channels=in_channels,
-                     weights='imagenet' if pretrained else None, **bk)
+    from .host_encoder import HostEncoder, build_host_encoder
+    enc, trainable = build_host_encoder('smp', model_name, in_channels=in_channels,
+                                        pretrained=pretrained,
+                                        backbone_kwargs=backbone_kwargs)
     return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)

@@ -452,15 +452,20 @@ class TiledInference:
                 cts, _, _, _, _ = tile_image(np.asarray(m, np.float32), self.tile_size,
                                              self.stride)
                 return cts[..., :1]
-            upper_tiles = crop_tiles(mask)
+            mask_tiles = crop_tiles(mask)
             lower_tiles = crop_tiles(point_mask)
+            upper_tiles = mask_tiles
             if point_mask_exclusive and lower_tiles is not None:
-                upper_tiles = lower_tiles  # only point-marked pixels may score
+                # the point mask replaces the upper bound entirely (points
+                # win over a fg mask — reference semantics,
+                # cpn_inference.py:110-111); tile skipping below still
+                # requires BOTH masks non-empty
+                upper_tiles = lower_tiles
             # a tile is skipped when its fg-mask crop OR its point-mask crop is
             # empty (parity: TileLoader returns None for either,
             # cpn_inference.py:94-107)
             nonempty = None
-            for skip_src in (upper_tiles, lower_tiles):
+            for skip_src in (mask_tiles, lower_tiles):
                 if skip_src is None:
                     continue
                 ne = skip_src.reshape(skip_src.shape[0], -1).max(-1) > 0

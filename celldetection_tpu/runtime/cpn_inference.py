@@ -245,12 +245,23 @@ def cpn_inference(
                 if isinstance(src, str) else f'array{src_idx}')
         try:
             out_fn = os.path.join(outputs, f'{name}.h5')
-            if skip_existing and os.path.isfile(out_fn):
-                continue
+            if skip_existing:
+                exists = os.path.isfile(out_fn)
+                if jax.process_count() > 1 and group_level == 'job':
+                    # the skip decision must be identical on every process
+                    # (they enter collectives together): writer rank decides
+                    from jax.experimental import multihost_utils
+                    flags = np.asarray(multihost_utils.process_allgather(
+                        np.asarray([int(exists)], np.int32)))
+                    exists = bool(flags.reshape(-1)[0])
+                if exists:
+                    continue
             img = load_image(src, method=inputs_method,
                              dataset=inputs_dataset) if isinstance(src, str) else src
             if grayscale and img.ndim == 3 and img.shape[-1] > 1:
-                img = img.mean(-1)
+                # keep the original dtype: uint8 inputs must stay uint8 so
+                # preprocess applies /255 scaling, not percentile stretching
+                img = img.mean(-1).astype(img.dtype)
             img = preprocess(img, percentile=percentile, gamma=gamma, contrast=contrast,
                              brightness=brightness, to_rgb=to_rgb)
             mask = load_image(mask_list[src_idx],

@@ -84,7 +84,7 @@ class CPNTrainer:
 
     def _make_batch(self, train_data, idx, samples, order, max_instances, rng_np,
                     crop_size=None):
-        from ..data.misc import random_crop
+        from ..data.misc import random_crop, random_pad
         images, items = [], []
         for i in idx:
             image, labels = train_data[int(i)]
@@ -92,6 +92,10 @@ class CPNTrainer:
                 image = image[..., None]
             if crop_size is not None:
                 image, labels = random_crop(image, labels, height=crop_size, rng=rng_np)
+                if image.shape[0] < crop_size or image.shape[1] < crop_size:
+                    # smaller-than-crop inputs: pad so the batch stacks
+                    image, labels = random_pad(image, labels, height=crop_size,
+                                               rng=rng_np)
             items.append(cpn_targets_single(np.ascontiguousarray(labels), samples,
                                             order, rng=rng_np))
             images.append(np.asarray(image, np.float32))

@@ -149,3 +149,45 @@ def test_oom_failover_preserves_mesh_divisibility():
     assert calls['n'] == 2
     assert tiled.batch_size == 4  # halved 8 -> 4, still divisible by 4 devices
     assert 'boxes' in out
+
+
+def test_host_cpn_hparams_persist_backbone_kwargs():
+    """Host-encoder CPNs must store the rebuild recipe (incl. trainable) and
+    tolerate dict2model passing the saved model_name back (CpnMiTB5MaNet)."""
+    from celldetection_tpu import models
+
+    with pytest.raises(ImportError):
+        # reaches encoder construction despite the stale model_name kwarg
+        models.get_cpn('CpnMiTB5MaNet')(3, model_name='mit_b5')
+
+    import inspect
+    src = inspect.getsource(models.cpn)
+    assert "backbone_kwargs=dict(backbone_kwargs or {})" in src  # persisted
+
+
+def test_trainer_crop_pads_small_images():
+    from celldetection_tpu.runtime.trainer import CPNTrainer
+    from celldetection_tpu import models
+
+    m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    tr = CPNTrainer(m)
+    small = np.random.RandomState(0).rand(40, 40).astype(np.float32)
+    lbl_s = np.zeros((40, 40), np.int32); lbl_s[10:20, 10:20] = 1
+    big = np.random.RandomState(1).rand(96, 96).astype(np.float32)
+    lbl_b = np.zeros((96, 96), np.int32); lbl_b[30:50, 30:50] = 1
+    data = [(small, lbl_s), (big, lbl_b)]
+    batch = tr._make_batch(data, [0, 1], 8, 5, 8, np.random.RandomState(0),
+                           crop_size=64)
+    assert batch['image'].shape == (2, 64, 64, 1)
+
+
+def test_property_table_empty_has_expanded_schema():
+    from celldetection_tpu.data import labels2property_table
+
+    empty = np.zeros((8, 8), 'int32')
+    df = labels2property_table(empty, 'label', 'bbox', 'centroid')
+    assert list(df.columns) == ['label', 'bbox-0', 'bbox-1', 'bbox-2', 'bbox-3',
+                                'centroid-0', 'centroid-1']
+    assert len(df) == 0
