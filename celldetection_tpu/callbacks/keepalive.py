@@ -57,7 +57,12 @@ class KeepAlive:
                     except Exception:
                         pass
                 try:
-                    os.kill(os.getpid(), signal.SIGTERM)
+                    # terminate the whole process group (data-loader/worker
+                    # children included), falling back to just this process
+                    try:
+                        os.killpg(os.getpgid(0), signal.SIGTERM)
+                    except (OSError, PermissionError):
+                        os.kill(os.getpid(), signal.SIGTERM)
                     time.sleep(10)
                 finally:
                     os._exit(1)

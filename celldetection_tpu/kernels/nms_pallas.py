@@ -125,6 +125,10 @@ def nms_pallas_impl(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     n = boxes.shape[0]
     if n == 0:
         return jnp.zeros((0,), bool)
+    if cblk % tile:
+        raise ValueError(f'cblk ({cblk}) must be a multiple of tile ({tile}): '
+                         f'padding to a multiple of cblk must also cover whole '
+                         f'row tiles or tail boxes would skip the greedy sweep')
     blk = max(tile, cblk)
     n_pad = (-n) % blk
     order = jnp.argsort(jnp.where(valid, scores, -jnp.inf), descending=True)

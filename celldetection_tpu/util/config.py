@@ -37,8 +37,11 @@ def conf2call(settings: Union[dict, str], origin, **kwargs):
 def _optax_registry():
     import optax
     return {
+        # torch Adam applies weight decay as L2-into-gradient (before the
+        # adaptive moments) — NOT decoupled AdamW
         'Adam': lambda lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0., **kw:
-            (optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+            (optax.chain(optax.add_decayed_weights(weight_decay),
+                         optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
              if weight_decay else optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)),
         'AdamW': lambda lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=1e-2, **kw:
             optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay),

@@ -101,12 +101,19 @@ def translate_torchvision_densenet(state_dict: Dict[str, np.ndarray], in_channel
     from .torch_import import _emit_conv, _emit_norm
 
     out: Dict[Tuple, np.ndarray] = {}
+    legacy = re.compile(r'^(.*denselayer\d+\.(?:norm|relu|conv))'
+                        r'\.([12])\.(weight|bias|running_mean|running_var)$')
     for key, v in state_dict.items():
         v = np.asarray(v)
         if key.startswith('classifier.'):
             continue
         if key.startswith('features.'):
             key = key[len('features.'):]
+        # the hosted 2017-era files use 'norm.1.weight' inside denselayers;
+        # torchvision applies this same regex remap on load
+        m = legacy.match(key)
+        if m:
+            key = f'{m.group(1)}{m.group(2)}.{m.group(3)}'
         parts = key.split('.')
         leaf = parts[-1]
         path = base + tuple(parts[:-1])

@@ -51,23 +51,29 @@ class ShmCache:
         dst = os.path.join(bucket, os.path.basename(src))
         if os.path.exists(dst):
             return dst
+        if not os.path.exists(src):
+            raise FileNotFoundError(src)
         try:
             shutil.copy2(src, dst)
-            if self.verify and self._hash_file(src) != self._hash_file(dst):
-                os.remove(dst)
-                raise IOError(f'Hash mismatch after staging {src}')
         except OSError:
+            # copy failure (shm full, permissions): fall back to a symlink
             if not self.symlink_fallback:
                 raise
             if os.path.exists(dst):
                 os.remove(dst)
             os.symlink(os.path.abspath(src), dst)
+        else:
+            # hash verification failures must propagate — never fall back
+            if self.verify and self._hash_file(src) != self._hash_file(dst):
+                os.remove(dst)
+                raise IOError(f'Hash mismatch after staging {src}')
         self._staged.append(dst)
         return dst
 
     def setup(self, files: Sequence[str]) -> List[str]:
         """Stage files (threaded); returns the staged paths in input order."""
         results: List[Optional[str]] = [None] * len(files)
+        errors: List[BaseException] = []
         lock = threading.Lock()
         idx = {'i': 0}
 
@@ -78,13 +84,20 @@ class ShmCache:
                     if i >= len(files):
                         return
                     idx['i'] += 1
-                results[i] = self._stage_one(files[i])
+                try:
+                    results[i] = self._stage_one(files[i])
+                except BaseException as e:  # surfaced to the caller below
+                    with lock:
+                        errors.append(e)
+                    return
 
         threads = [threading.Thread(target=worker) for _ in range(min(self.num_threads, len(files)))]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise errors[0]
         return results  # type: ignore[return-value]
 
     def teardown(self):

@@ -87,7 +87,8 @@ def get_tiling_slices(size: Sequence[int], crop_size: Union[int, Sequence[int]],
                        strides[axis])
         stops = np.minimum(tl, size[axis])
         starts = np.maximum(0, stops - crop_size[axis])
-        overlaps_start = np.concatenate((starts[:1], stops[:-1])) - starts
+        # clamp: strides > crop_size yield gaps, not negative overlaps
+        overlaps_start = np.maximum(np.concatenate((starts[:1], stops[:-1])) - starts, 0)
         overlaps_end = np.concatenate((overlaps_start[1:], [0]))
         axis_slices = [slice(int(a), int(b)) for a, b in zip(starts, stops)]
         axis_overlaps = [(int(a), int(b)) for a, b in zip(overlaps_start, overlaps_end)]

@@ -25,8 +25,12 @@ _TIMERS = {}
 
 
 def _sync():
-    # Block until all pending device work completes.
-    jax.block_until_ready(jax.device_put(0))
+    # Block until pending device work completes: a jitted no-op program is
+    # enqueued on the device execution stream AFTER previously dispatched
+    # programs, so blocking on it orders after them (a bare device_put
+    # transfer does not — transfers ride a separate stream).
+    import jax.numpy as jnp
+    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
 
 
 def start_timer(key: str = 'default', cuda: bool = True):

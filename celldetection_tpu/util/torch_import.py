@@ -248,7 +248,9 @@ def import_state_dict(variables, flat: Dict[Tuple, np.ndarray], strict: bool = T
             continue
         if path not in target[coll]:
             # Allow bias-less convs etc. to be absent only when not strict.
-            raise KeyError(f'Path not in target[{coll}]: {"/".join(path)}')
+            if strict:
+                raise KeyError(f'Path not in target[{coll}]: {"/".join(path)}')
+            continue
         tgt = target[coll][path]
         if tuple(tgt.shape) != tuple(v.shape):
             raise ValueError(f'Shape mismatch at {coll}/{"/".join(path)}: '

@@ -191,3 +191,80 @@ def test_property_table_empty_has_expanded_schema():
     assert list(df.columns) == ['label', 'bbox-0', 'bbox-1', 'bbox-2', 'bbox-3',
                                 'centroid-0', 'centroid-1']
     assert len(df) == 0
+
+
+def test_densenet_legacy_key_remap():
+    """The hosted 2017 torchvision DenseNet files use 'denselayerN.norm.1.weight'
+    keys; the translator must remap them like torchvision does."""
+    from celldetection_tpu.util.pretrained import translate_torchvision_densenet
+
+    sd = {
+        'features.conv0.weight': np.zeros((8, 3, 7, 7), np.float32),
+        'features.norm0.weight': np.zeros((8,), np.float32),
+        'features.denseblock1.denselayer1.norm.1.weight': np.zeros((8,), np.float32),
+        'features.denseblock1.denselayer1.conv.1.weight': np.zeros((4, 8, 1, 1), np.float32),
+        'features.denseblock1.denselayer1.norm.2.running_mean': np.zeros((4,), np.float32),
+        'features.denseblock1.denselayer1.conv.2.weight': np.zeros((2, 4, 3, 3), np.float32),
+    }
+    flat = translate_torchvision_densenet(sd, in_channels=1)
+    paths = {'/'.join(p) for _, p in flat}
+    assert 'backbone/body/denseblock1/denselayer1/norm1/norm/scale' in paths
+    assert 'backbone/body/denseblock1/denselayer1/conv2/kernel' in paths
+
+
+def test_import_state_dict_nonstrict_skips_missing():
+    from celldetection_tpu.util.torch_import import import_state_dict
+
+    variables = {'params': {'a': {'kernel': np.zeros((2, 2), np.float32)}}}
+    flat = {('params', ('a', 'kernel')): np.ones((2, 2), np.float32),
+            ('params', ('a', 'bias')): np.ones((2,), np.float32)}  # absent leaf
+    with pytest.raises(KeyError):
+        import_state_dict(variables, flat, strict=True)
+    out = import_state_dict(variables, flat, strict=False)
+    np.testing.assert_allclose(np.asarray(out['params']['a']['kernel']), 1.)
+
+
+def test_tiling_overlaps_nonnegative():
+    from celldetection_tpu.util.tiling import get_tiling_slices
+
+    slices, overlaps, shape = get_tiling_slices([10], 2, 4, return_overlaps=True)
+    for ov in overlaps:  # per-tile tuples of per-axis (start, end) overlaps
+        for a, b in ov:
+            assert a >= 0 and b >= 0
+
+
+def test_shm_hash_mismatch_propagates(tmp_path, monkeypatch):
+    from celldetection_tpu.util.shm_cache import ShmCache
+
+    src = tmp_path / 'data.bin'
+    src.write_bytes(b'payload')
+    cache = ShmCache(root=str(tmp_path / 'shm'), verify=True, symlink_fallback=True)
+    monkeypatch.setattr(cache, '_hash_file', lambda fn: fn)  # src != dst hash
+    with pytest.raises(IOError):
+        cache.setup([str(src)])
+    with pytest.raises(FileNotFoundError):
+        ShmCache(root=str(tmp_path / 'shm2')).setup([str(tmp_path / 'missing.bin')])
+
+
+def test_nms_pallas_rejects_misaligned_cblk():
+    from celldetection_tpu.kernels.nms_pallas import nms_pallas_impl
+
+    boxes = jnp.zeros((4, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        nms_pallas_impl(boxes, jnp.zeros(4), jnp.ones(4, bool), 0.5,
+                        tile=256, cblk=384)
+
+
+def test_adam_weight_decay_is_l2():
+    """conf2optimizer 'Adam' with weight_decay must match torch's
+    L2-into-gradient, not decoupled AdamW."""
+    import optax
+    from celldetection_tpu.util.config import conf2optimizer
+
+    tx = conf2optimizer({'Adam': dict(lr=0.1, weight_decay=0.5)})
+    params = {'w': jnp.asarray([2.0])}
+    st = tx.init(params)
+    upd, _ = tx.update({'w': jnp.asarray([0.0])}, st, params)
+    # zero gradient + L2: effective grad = wd*param = 1.0 -> adam moves
+    # the param by ~lr in the negative direction (sign-normalized)
+    assert float(upd['w'][0]) < -0.05
