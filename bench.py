@@ -108,11 +108,11 @@ def main():
 
     single = os.environ.get('BENCH_MODEL')
     names = [single] if single else ['CpnU22', 'CpnResNeXt101UNet']
+    # batch sweet spot measured on v5e (16G HBM): batch 8 OOMs for both
+    # models; batch 4 beats 2 by ~11% for the flagship (8.63 vs 7.78 tiles/s)
+    batch = int(os.environ.get('BENCH_BATCH', '4'))
     records = []
     for name in names:
-        # batch sweet spots measured on v5e (16G HBM): batch 8 OOMs for both
-        # models; batch 4 beats 2 by ~11% for the flagship (8.63 vs 7.78 tiles/s)
-        batch = int(os.environ.get('BENCH_BATCH', '4'))
         records.append(bench_model(name, batch, tile, iters, dtype_name))
 
     if len(records) > 1:

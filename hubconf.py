@@ -10,7 +10,7 @@ or via this hubconf::
     from hubconf import ginoro
     model = ginoro()
 """
-dependencies = ['jax', 'flax', 'numpy']
+dependencies = ['jax', 'flax', 'numpy', 'torch']  # torch: ginoro .pt unpickling
 
 
 def ginoro(**kwargs):

@@ -99,6 +99,11 @@ def main():
         model = models.get_cpn(args.model)(in_channels=args.in_channels,
                                            max_detections=args.max_detections)
         model.init(input_shape=(1, args.crop, args.crop, args.in_channels))
+        if not args.train:
+            print(f'WARNING: {args.model!r} is a zoo name (no checkpoint file) and '
+                  f'--train was not given — evaluating RANDOM weights. Pass a '
+                  f'checkpoint path or --train for a meaningful number.',
+                  file=sys.stderr)
 
     trainer = CPNTrainer(model, val_hparams={'score_thresh': args.score_threshs})
     if args.train:
@@ -116,6 +121,8 @@ def main():
         'best_hparams': metrics['best_hparams'],
         'n_images': len(val_data),
     }
+    if not args.train and not os.path.isfile(args.model):
+        record['untrained'] = True  # random weights — see the stderr warning
     print(json.dumps(record), flush=True)
 
 

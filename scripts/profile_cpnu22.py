@@ -31,7 +31,9 @@ def main():
 
     tile = 1024
     iters = int(os.environ.get('PROF_ITERS', '12'))
-    for batch in (4, 8):
+    batches = tuple(int(b) for b in
+                    os.environ.get('PROF_BATCHES', '2,4').split(','))
+    for batch in batches:  # batch 8 OOMs on v5e 16G (see bench.py)
         model = models.CpnU22(in_channels=3, max_detections=2048, samples=32,
                               compute_dtype=jnp.bfloat16)
         model.init(jax.random.PRNGKey(0), (batch, tile, tile, 3))

@@ -13,8 +13,13 @@ setup(
     python_requires='>=3.10',
     install_requires=[
         'jax', 'flax', 'optax', 'orbax-checkpoint', 'numpy', 'opencv-python',
-        'scipy', 'h5py', 'pyyaml', 'pandas', 'imageio',
+        'scipy', 'h5py', 'pyyaml', 'pandas', 'imageio', 'msgpack',
     ],
+    extras_require={
+        # torch checkpoint import/export + host-executed encoders
+        'torch': ['torch'],
+        'viz': ['matplotlib'],
+    },
     entry_points={
         'console_scripts': [
             'cdt-inference-cpn=celldetection_tpu.runtime.cpn_inference:main',
