@@ -327,28 +327,37 @@ def draw_contours(canvas, contours, val=(51, 255, 51), round=True, contour_idx=-
 
 def contours2overlay(contours, size, colors=None, thickness=-1, rounded=True, clip=True,
                      seed=None, processes: int = None):
-    """RGBA instance overlay from contours (random HSV colors).
+    """RGBA instance overlay from contours.
 
-    For gigapixel outputs pass ``processes`` > 1: the canvas is allocated in
-    shared memory and contour chunks render in parallel worker processes
-    (behavior parity with the reference's shared-memory multiprocess renderer
-    for 5.6M-contour mosaics, ``celldetection/data/cpn.py:726-855``).
+    Args:
+        colors: Optional per-instance RGB(A) colors ``[n, 3|4]`` (uint8);
+            random HSV colors otherwise.
+        processes: For gigapixel outputs pass > 1: the canvas is allocated in
+            shared memory and contour chunks render in parallel worker
+            processes (behavior parity with the reference's shared-memory
+            multiprocess renderer for 5.6M-contour mosaics,
+            ``celldetection/data/cpn.py:726-855``).
     """
-    if processes and processes > 1 and contours is not None and len(contours) > 256:
+    if colors is None and processes and processes > 1 and contours is not None \
+            and len(contours) > 256:
         return _contours2overlay_mp(contours, size, thickness=thickness, rounded=rounded,
                                     clip=clip, seed=seed, processes=processes)
     rng = np.random.RandomState(seed)
     overlay = np.zeros(tuple(size) + (4,), dtype=np.uint8)
     if contours is None or len(contours) == 0:
         return overlay
-    for contour in contours:
+    for ci, contour in enumerate(contours):
         contour = np.array(contour, dtype=float)
         if rounded:
             contour = np.round(contour)
         if clip:
             clip_contour_(contour, np.array(size) - 1)
-        hsv = np.uint8([[[rng.randint(0, 180), rng.randint(60, 256), rng.randint(128, 256)]]])
-        rgb = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)[0, 0]
+        if colors is not None:
+            rgb = np.asarray(colors[ci % len(colors)], np.uint8)[:3]
+        else:
+            hsv = np.uint8([[[rng.randint(0, 180), rng.randint(60, 256),
+                              rng.randint(128, 256)]]])
+            rgb = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)[0, 0]
         a, (xmin, xmax), (ymin, ymax) = render_contour(contour, val=1, dtype='uint8', thickness=thickness)
         sl = np.s_[ymin:ymin + a.shape[0], xmin:xmin + a.shape[1]]
         m = a > 0

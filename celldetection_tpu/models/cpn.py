@@ -56,6 +56,11 @@ def _resolve_channels(feature_channels, keys, encoder_channels=None, encoder_pre
 
 
 def _resolve_features(features, keys):
+    if len(features) == 1:
+        # tensor-returning backbone: every head reads the single map (the
+        # reference bypasses key resolution in this case, cpn.py forward)
+        sole = next(iter(features.values()))
+        return [sole] * len(keys) if isinstance(keys, (tuple, list)) else sole
     if isinstance(keys, (tuple, list)):
         return [features[k] for k in keys]
     return features[keys]
@@ -256,11 +261,20 @@ def cpn_decode(dense: Dict[str, jnp.ndarray], input_size: Tuple[int, int], *,
         priority = sel_score
     neg = jnp.full_like(priority, -jnp.inf)
     flat_priority = jnp.where(fg_mask, priority, neg).reshape(b_dim, h * w)
-    top_vals, top_idx = jax.lax.top_k(flat_priority, max_detections)   # [B, K]
+    # small inputs can have fewer score-map pixels than capacity: top_k
+    # requires k <= h*w, so select what exists and pad the rest invalid
+    k = min(max_detections, h * w)
+    top_vals, top_idx = jax.lax.top_k(flat_priority, k)         # [B, k]
+    if k < max_detections:
+        pad = max_detections - k
+        top_vals = jnp.concatenate(
+            [top_vals, jnp.full((b_dim, pad), -jnp.inf, top_vals.dtype)], -1)
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((b_dim, pad), top_idx.dtype)], -1)
     valid = jnp.isfinite(top_vals)
     fg_count = fg_mask.reshape(b_dim, -1).sum(-1)
 
-    locations_abs = rel_location2abs_location(dense['locations'])
+    locations_abs = rel_location2abs_location(dense['locations'], channels_last=True)
     sel_fourier = _gather_hw(fourier, top_idx)                 # [B, K, order, 4]
     sel_locations = _gather_hw(locations_abs, top_idx)         # [B, K, 2]
     sel_classes = _gather_hw(classes[..., None], top_idx)[..., 0]
@@ -293,18 +307,30 @@ def cpn_decode(dense: Dict[str, jnp.ndarray], input_size: Tuple[int, int], *,
     contours = all_refined[-1]
     boxes = jnp.concatenate((contours.min(-2), contours.max(-2)), -1)
 
+    out = dict(contours=contours, boxes=boxes, scores=sel_scores, classes=sel_classes,
+               locations=sel_locations, fourier=sel_fourier, contour_proposals=proposals,
+               all_refined=tuple(all_refined), box_uncertainties=sel_uncertainty,
+               valid=valid, fg_index=top_idx, fg_labels=sel_labels, fg_count=fg_count,
+               dense_scores=raw_scores, dense_labels=labels)
     if offsets is not None:
-        off = offsets[:, None]                                  # [B, 1, 2]
-        contours = contours + off[:, :, None]
-        proposals = proposals + off[:, :, None]
-        boxes = boxes + jnp.concatenate([off, off], -1)
-        sel_locations = sel_locations + off
+        out = apply_detection_offsets(out, offsets)
+    return out
 
-    return dict(contours=contours, boxes=boxes, scores=sel_scores, classes=sel_classes,
-                locations=sel_locations, fourier=sel_fourier, contour_proposals=proposals,
-                all_refined=tuple(all_refined), box_uncertainties=sel_uncertainty,
-                valid=valid, fg_index=top_idx, fg_labels=sel_labels, fg_count=fg_count,
-                dense_scores=raw_scores, dense_labels=labels)
+
+def apply_detection_offsets(decoded: Dict[str, jnp.ndarray], offsets) -> dict:
+    """Shift all coordinate-valued outputs to global coordinates.
+
+    Applied AFTER any loss computation (the reference offsets outputs post
+    ``compute_loss`` — '(loss calc etc. not affected)', cpn.py:700-706).
+    """
+    off = offsets[:, None]                                      # [B, 1, 2]
+    out = dict(decoded)
+    out['contours'] = decoded['contours'] + off[:, :, None]
+    out['contour_proposals'] = decoded['contour_proposals'] + off[:, :, None]
+    out['all_refined'] = tuple(c + off[:, :, None] for c in decoded['all_refined'])
+    out['boxes'] = decoded['boxes'] + jnp.concatenate([off, off], -1)
+    out['locations'] = decoded['locations'] + off
+    return out
 
 
 # Loss weights — parity: ``celldetection/models/cpn.py:425-435``.
@@ -318,7 +344,8 @@ def cpn_compute_loss(decoded: Dict[str, jnp.ndarray], targets: Dict[str, jnp.nda
                      score_channels: int, order_weights: Union[jnp.ndarray, float] = 1.,
                      weights: Dict[str, float] = None, uncertainty_factor: float = 7.,
                      uncertainty_head: bool = False,
-                     iou_loss_enabled: bool = True, box_loss_enabled: bool = False):
+                     iou_loss_enabled: bool = True, box_loss_enabled: bool = False,
+                     refinement_enabled: bool = True):
     """CPN multi-objective loss on capacity-padded selections.
 
     Score losses are computed densely over fg/bg masks (mathematically equal
@@ -342,7 +369,16 @@ def cpn_compute_loss(decoded: Dict[str, jnp.ndarray], targets: Dict[str, jnp.nda
     class_targets = targets.get('classes')
     if score_channels == 1:
         logits = raw_scores[..., 0]
-        losses['score'] = (weights['score_fg'] * L.bce_with_logits(logits, jnp.ones_like(logits), mask=fg_mask)
+        if class_targets is not None:
+            # fg targets come from per-instance classes even in the binary
+            # case (ref: 'ones = class_targets[b, fg_indices]', cpn.py:510-513)
+            bsz, hh, ww = labels.shape
+            lbl_map = jnp.clip(labels.astype(jnp.int32) - 1, 0)
+            fg_tgt = jnp.take_along_axis(class_targets.astype(jnp.float32),
+                                         lbl_map.reshape(bsz, -1), 1).reshape(bsz, hh, ww)
+        else:
+            fg_tgt = jnp.ones_like(logits)
+        losses['score'] = (weights['score_fg'] * L.bce_with_logits(logits, fg_tgt, mask=fg_mask)
                            + weights['score_bg'] * L.bce_with_logits(logits, jnp.zeros_like(logits), mask=bg_mask))
     else:
         lbl_idx_map = jnp.clip(labels.astype(jnp.int32) - 1, 0)
@@ -383,12 +419,17 @@ def cpn_compute_loss(decoded: Dict[str, jnp.ndarray], targets: Dict[str, jnp.nda
             decoded['contour_proposals'], contour_t, mask=valid)
         if box_t is None:
             box_t = jnp.concatenate((contour_t.min(-2), contour_t.max(-2)), -1)
-        cc_tar = hires_t if hires_t is not None else contour_t
-        refinement_loss = 0.
-        for ref_con in decoded['all_refined']:
-            refinement_loss = refinement_loss + weights['refinement'] * L.l1_loss(
-                ref_con, cc_tar, mask=valid)
-        losses['refinement'] = refinement_loss
+        if refinement_enabled:
+            # guarded like the reference ('self.refinement and
+            # refinement_iterations > 0', cpn.py:539) — with refinement off,
+            # all_refined holds only the clamped proposals and must not add
+            # a duplicate contour objective
+            cc_tar = hires_t if hires_t is not None else contour_t
+            refinement_loss = 0.
+            for ref_con in decoded['all_refined']:
+                refinement_loss = refinement_loss + weights['refinement'] * L.l1_loss(
+                    ref_con, cc_tar, mask=valid)
+            losses['refinement'] = refinement_loss
     if box_t is not None:
         if iou_loss_enabled:
             losses['iou'] = weights['iou'] * L.iou_loss(decoded['boxes'], box_t, min_size=1.,
@@ -562,7 +603,9 @@ class CPN:
             refinement_buckets=self.refinement_buckets,
             certainty_thresh=self.certainty_thresh, sampling=sampling, labels=labels,
             priority=priority, scores_lower_bound=scores_lower_bound,
-            scores_upper_bound=scores_upper_bound, offsets=offsets)
+            scores_upper_bound=scores_upper_bound,
+            # with targets, offsets apply after the loss (ref cpn.py:700-706)
+            offsets=None if targets is not None else offsets)
 
         if targets is not None:
             loss, losses = cpn_compute_loss(
@@ -570,9 +613,13 @@ class CPN:
                 order_weights=self.order_weights, weights=self.weights,
                 uncertainty_factor=self.uncertainty_factor,
                 uncertainty_head=self.uncertainty_head,
-                iou_loss_enabled=self.iou_loss_enabled, box_loss_enabled=self.box_loss_enabled)
+                iou_loss_enabled=self.iou_loss_enabled, box_loss_enabled=self.box_loss_enabled,
+                refinement_enabled=bool(self.refinement)
+                and self.refinement_iterations > 0)
             decoded['loss'] = loss
             decoded['losses'] = losses
+            if offsets is not None:
+                decoded = apply_detection_offsets(decoded, offsets)
 
         if not train and nms:
             if self.uncertainty_nms and decoded['box_uncertainties'] is not None:
@@ -594,15 +641,20 @@ class CPN:
 
     # -- user API ------------------------------------------------------------
 
-    @staticmethod
-    def prepare_inputs(inputs) -> jnp.ndarray:
+    def prepare_inputs(self, inputs) -> jnp.ndarray:
         """Accept numpy/jnp HWC, NHWC or NCHW images; uint8 → float/255; → NHWC float."""
         x = np.asarray(inputs) if not isinstance(inputs, jnp.ndarray) else inputs
         if x.ndim == 2:
             x = x[..., None]
         if x.ndim == 3:
             x = x[None]
-        if x.shape[1] <= 8 < x.shape[-1]:  # NCHW heuristic
+        in_c = self.hparams.get('in_channels') if hasattr(self, 'hparams') else None
+        if in_c is not None and x.shape[1] != x.shape[-1]:
+            # unambiguous: the channel axis is wherever in_channels matches
+            nchw = x.shape[1] == in_c and x.shape[-1] != in_c
+        else:
+            nchw = x.shape[1] <= 8 < x.shape[-1]  # fallback heuristic
+        if nchw:
             x = jnp.moveaxis(jnp.asarray(x), 1, -1) if isinstance(x, jnp.ndarray) \
                 else np.moveaxis(x, 1, -1)
         x = jnp.asarray(x)
@@ -610,25 +662,47 @@ class CPN:
             x = x.astype(jnp.float32) / 255.
         return x.astype(jnp.float32)
 
-    def __call__(self, inputs, targets=None, nms: bool = True, score_thresh=None, **kwargs):
-        """Reference-style inference: returns dict of per-image result lists.
+    def __call__(self, inputs, targets=None, nms: bool = True, score_thresh=None,
+                 scores_lower_bound=None, scores_upper_bound=None, **kwargs):
+        """Reference-style forward: per-image result lists (+ loss with targets).
 
-        Inputs exceeding ``max_imsize`` are processed through the tiled
-        sliding-window pipeline (results in global coordinates, single-image
-        only — parity with ``forward_tiled``).
+        With ``targets`` the result includes ``loss``/``losses`` like the
+        reference ``CPN.forward``; score bounds (mask / point-prompt fields)
+        are threaded through to the decode. Inputs exceeding ``max_imsize``
+        are processed through the tiled sliding-window pipeline (results in
+        global coordinates, single-image only — parity with ``forward_tiled``).
         """
         x = self.prepare_inputs(inputs)
         if self.max_imsize is not None and max(x.shape[1:3]) > self.max_imsize:
             from ..parallel.tiles import TiledInference
             assert x.shape[0] == 1, 'Auto-tiled forward expects a single image.'
+            assert targets is None, 'Auto-tiled forward is inference-only.'
             tiled = TiledInference(self, tile_size=self.tile_size, stride=self.tile_stride)
             res = tiled(np.asarray(x[0]), score_thresh=score_thresh)
-            return {k: ([v] if not isinstance(v, (int, bool)) else v)
-                    for k, v in res.items()}
+            # align the schema with the detach() path
+            out = {k: ([v] if isinstance(v, np.ndarray) else v) for k, v in res.items()}
+            out['fg_overflow'] = out.pop('overflow', False)
+            out.setdefault('contour_proposals', None)
+            out.setdefault('box_uncertainties', None)
+            return out
         if self.variables is None:
             self.init(input_shape=x.shape)
         st = jnp.asarray(self.score_thresh if score_thresh is None else score_thresh,
                          jnp.float32)
+        if targets is not None or scores_lower_bound is not None \
+                or scores_upper_bound is not None:
+            tgt = None if targets is None else \
+                {k: jnp.asarray(v) for k, v in targets.items()}
+            out = self.forward_padded(self.variables, x, score_thresh=st, nms=nms,
+                                      targets=tgt,
+                                      scores_lower_bound=scores_lower_bound,
+                                      scores_upper_bound=scores_upper_bound)
+            result = self.detach(out)
+            if 'loss' in out:
+                result['loss'] = np.asarray(out['loss'])
+                result['losses'] = {k: (None if v is None else np.asarray(v))
+                                    for k, v in out['losses'].items()}
+            return result
         out = self._jitted(nms)(self.variables, x, st)
         return self.detach(out)
 

@@ -32,18 +32,24 @@ __all__ = [
 ]
 
 
-def rel_location2abs_location(locations: jnp.ndarray) -> jnp.ndarray:
+def rel_location2abs_location(locations: jnp.ndarray,
+                              channels_last: bool = None) -> jnp.ndarray:
     """Add the pixel-grid offset to relative locations.
 
     Args:
         locations: ``Array[..., 2, h, w]`` in xy format (channel-first, parity
-            with reference) or ``Array[..., h, w, 2]`` (channel-last) — the
-            variant is inferred from which axis has extent 2.
+            with reference) or ``Array[..., h, w, 2]`` (channel-last).
+        channels_last: Layout; when None it is inferred from which axis has
+            extent 2 — channels-last wins the ambiguous h==2 case (it is this
+            package's native layout; pass the flag explicitly for 2-row
+            channel-first maps).
 
     Returns:
         Absolute locations with the same layout.
     """
-    if locations.shape[-1] == 2 and locations.shape[-3] != 2:
+    if channels_last is None:
+        channels_last = locations.shape[-1] == 2
+    if channels_last:
         h, w = locations.shape[-3], locations.shape[-2]
         gx = jax.lax.broadcasted_iota(locations.dtype, (h, w), 1)
         gy = jax.lax.broadcasted_iota(locations.dtype, (h, w), 0)

@@ -268,3 +268,104 @@ def test_adam_weight_decay_is_l2():
     # zero gradient + L2: effective grad = wd*param = 1.0 -> adam moves
     # the param by ~lr in the negative direction (sign-normalized)
     assert float(upd['w'][0]) < -0.05
+
+
+def test_decode_small_input_capacity():
+    """max_detections > score-map pixels must pad, not crash (lax.top_k cap)."""
+    from celldetection_tpu import models
+
+    m = models.CpnU12(in_channels=1, max_detections=2048, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    out = m(np.zeros((64, 64, 1), np.float32))  # 32*32=1024 < 2048
+    assert len(out['contours']) == 1
+
+
+def test_call_with_targets_returns_loss():
+    """model(images, targets) computes the loss like the reference forward."""
+    from celldetection_tpu import data, models
+
+    m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    img, labels = data.random_geometric_objects(64, 64, num=4, radius=(4, 10), seed=0)
+    tgt = data.collate_cpn_targets(
+        [data.cpn_targets_single(labels, 8, 5, rng=np.random.RandomState(0))],
+        max_instances=8)
+    batch_t = {k: v for k, v in tgt.items() if k != 'num_instances'}
+    out = m(img[None, ..., None].astype(np.float32), targets=batch_t)
+    assert 'loss' in out and np.isfinite(float(out['loss']))
+    assert 'losses' in out and 'score' in out['losses']
+
+
+def test_single_array_backbone():
+    """A backbone returning one array feeds every head (reference bypass)."""
+    from flax import linen as nn
+    from celldetection_tpu.models.cpn import CPN
+
+    class OneMap(nn.Module):
+        out_channels = (16,)
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(16, (3, 3), strides=(2, 2), padding=1)(x)
+
+    m = CPN(backbone=OneMap(), max_detections=16, samples=8, refinement=False)
+    m.init(input_shape=(1, 64, 64, 1))
+    out = m(np.zeros((64, 64, 1), np.float32), score_thresh=0.9)
+    assert len(out['contours']) == 1
+
+
+def test_offsets_do_not_affect_loss():
+    from celldetection_tpu import data, models
+
+    m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    img, labels = data.random_geometric_objects(64, 64, num=4, radius=(4, 10), seed=0)
+    tgt = data.collate_cpn_targets(
+        [data.cpn_targets_single(labels, 8, 5, rng=np.random.RandomState(0))],
+        max_instances=8)
+    batch_t = {k: jnp.asarray(v) for k, v in tgt.items() if k != 'num_instances'}
+    x = jnp.asarray(img[None, ..., None], jnp.float32)
+    o0 = m.forward_padded(m.variables, x, targets=batch_t, nms=False)
+    o1 = m.forward_padded(m.variables, x, targets=batch_t, nms=False,
+                          offsets=jnp.asarray([[256., 128.]]))
+    np.testing.assert_allclose(float(o0['loss']), float(o1['loss']), rtol=1e-6)
+    # outputs ARE shifted (incl. all_refined, consistent with contours)
+    np.testing.assert_allclose(np.asarray(o1['locations'] - o0['locations']),
+                               np.broadcast_to([256., 128.], o0['locations'].shape))
+    np.testing.assert_allclose(np.asarray(o1['all_refined'][-1]),
+                               np.asarray(o1['contours']))
+
+
+def test_refinement_loss_guarded():
+    from celldetection_tpu import data
+    from celldetection_tpu.models.cpn import CPN
+    from celldetection_tpu.models.unet import U12
+
+    img, labels = data.random_geometric_objects(64, 64, num=4, radius=(4, 10), seed=0)
+    tgt = data.collate_cpn_targets(
+        [data.cpn_targets_single(labels, 8, 5, rng=np.random.RandomState(0))],
+        max_instances=8)
+    batch_t = {k: jnp.asarray(v) for k, v in tgt.items() if k != 'num_instances'}
+    x = jnp.asarray(img[None, ..., None], jnp.float32)
+    m = CPN(backbone=U12(in_channels=1, backbone_kwargs=dict(base_channels=8)),
+            max_detections=16, samples=8, refinement=False)
+    m.init(input_shape=(1, 64, 64, 1))
+    out = m.forward_padded(m.variables, x, targets=batch_t, nms=False)
+    assert 'refinement' not in out['losses']
+
+
+def test_prepare_inputs_many_channels_nchw():
+    from celldetection_tpu import models
+
+    m = models.CpnU12(in_channels=16, max_detections=16, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.hparams['in_channels'] = 16
+    x = np.zeros((2, 16, 64, 48), np.float32)  # NCHW, 16 channels
+    out = m.prepare_inputs(x)
+    assert out.shape == (2, 64, 48, 16)
+    # NHWC with 16 channels stays put
+    x2 = np.zeros((2, 64, 48, 16), np.float32)
+    assert m.prepare_inputs(x2).shape == (2, 64, 48, 16)
