@@ -79,6 +79,10 @@ class RandomBrightnessContrast(_Aug):
 class RandomGamma(_Aug):
     def __init__(self, gamma_limit: Tuple[float, float] = (0.7, 1.5), p: float = 0.5):
         super().__init__(p)
+        # albumentations configs give gamma in PERCENT (e.g. (80, 120));
+        # accept both so reference configs transfer unchanged
+        if min(gamma_limit) > 10:
+            gamma_limit = tuple(g / 100. for g in gamma_limit)
         self.gamma_limit = gamma_limit
 
     def apply(self, image, labels, rng):
@@ -89,6 +93,10 @@ class RandomGamma(_Aug):
 class GaussNoise(_Aug):
     def __init__(self, var_limit: Tuple[float, float] = (0.0005, 0.005), p: float = 0.5):
         super().__init__(p)
+        # albumentations configs give variance in 0-255 intensity units
+        # (e.g. (10, 50)); rescale to the [0, 1] domain used here
+        if max(var_limit) > 1:
+            var_limit = tuple(v / 255. ** 2 for v in var_limit)
         self.var_limit = var_limit
 
     def apply(self, image, labels, rng):
@@ -146,13 +154,25 @@ class ElasticTransform(_Aug):
 
 
 class Compose:
+    """Sequential joint image+labels pipeline.
+
+    Intensity augs operate on float images in [0, 1]; uint8 inputs are
+    converted in and back out transparently (clipping to [0, 1] and casting
+    to uint8 mid-pipeline would flatten the image to {0, 1}).
+    """
+
     def __init__(self, transforms: List[Callable]):
         self.transforms = transforms
 
     def __call__(self, image, labels=None, rng=None):
         rng = rng or np.random
+        was_uint8 = image.dtype == np.uint8
+        if was_uint8:
+            image = image.astype(np.float32) / 255.
         for t in self.transforms:
             image, labels = t(image, labels, rng)
+        if was_uint8:
+            image = np.round(np.clip(image, 0., 1.) * 255.).astype(np.uint8)
         return image, labels
 
 

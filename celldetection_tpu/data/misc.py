@@ -76,11 +76,22 @@ def universal_dict_collate_fn(batch: List[dict], check_padding: bool = True) -> 
     return out
 
 
-def normalize_percentile(image: np.ndarray, percentile: float = 99.9, to_uint8: bool = False,
+def normalize_percentile(image: np.ndarray, percentile=99.9, to_uint8: bool = False,
                          lower: float = None) -> np.ndarray:
-    """Percentile normalization to [0, 1] (optionally uint8)."""
-    low = 0. if lower is None else np.percentile(image, lower)
-    high = np.percentile(image, percentile)
+    """Two-sided percentile normalization to [0, 1] (optionally uint8).
+
+    Parity: the reference maps the (100-p)th..pth percentile window to [0, 1]
+    with clipping (``celldetection/data/misc.py:156``) — a camera baseline is
+    removed, not just divided through. ``percentile`` may be a (low, high)
+    tuple; ``lower`` overrides the low percentile.
+    """
+    if isinstance(percentile, (list, tuple)):
+        p_low, p_high = percentile
+    else:
+        p_low, p_high = 100. - percentile, percentile
+    if lower is not None:
+        p_low = lower
+    low, high = np.percentile(image, (p_low, p_high))
     denom = max(high - low, 1e-12)
     img = (image.astype('float32') - low) / denom
     img = np.clip(img, 0., 1.)

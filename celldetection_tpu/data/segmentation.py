@@ -72,6 +72,8 @@ def remove_padding(inputs, padding: int):
     """Crop ``padding`` rows/cols from both sides of the leading two axes."""
     if isinstance(inputs, (list, tuple)):
         return [remove_padding(item, padding) for item in inputs]
+    if padding <= 0:  # slice(0, -0) would return an empty array
+        return inputs
     crop = (slice(padding, -padding),) * 2
     return inputs[crop]
 

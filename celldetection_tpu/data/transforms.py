@@ -39,6 +39,8 @@ class Transforms:
 class BasicTransforms(Transforms):
     def __init__(self, crop_size=None, percentile: float = 99.9, to_rgb: bool = True,
                  rng: np.random.RandomState = None):
+        if isinstance(crop_size, int):  # reference API accepts a scalar
+            crop_size = (crop_size, crop_size)
         self.crop_size = crop_size
         self.percentile = percentile
         self.to_rgb = to_rgb

@@ -73,7 +73,9 @@ class CPNTrainer:
         # lightning_base.py:184-198, 277-286)
         self.metrics_logger = metrics_logger
         self.log_figures_every = log_figures_every
+        self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
+        self._np_seed_counter = 0
         self.state = TrainState.create(model, self.tx)
         self._step_fn = make_train_step(model, self.tx, mesh=mesh)
         self._ema_loss = None
@@ -127,10 +129,15 @@ class CPNTrainer:
         order = order or self.model.order
         n = len(train_data)
         order_idx = np.arange(n)
-        rng_np = np.random.RandomState(0)
+        # host-side pipeline RNG derives from the trainer seed; the counter
+        # keeps repeated fit() calls from replaying identical shuffles
+        rng_np = np.random.RandomState((self.seed + 977 * self._np_seed_counter)
+                                       % (2 ** 31))
+        self._np_seed_counter += 1
         item_loss = np.zeros(n)
         item_seen = np.zeros(n, bool)
-        pool = ThreadPoolExecutor(max_workers=max(prefetch, 1))
+        prefetch = max(prefetch, 1)
+        pool = ThreadPoolExecutor(max_workers=prefetch)
         for epoch in range(epochs):
             self.item_record = {}  # per-epoch item records (lightning_base.py:311)
             if adaptive_sampling and item_seen.all():
@@ -254,11 +261,16 @@ class CPNTrainer:
         results = {}
         for combo in combos:
             setting = dict(zip(keys, combo))
+            # apply non-score hparams once per combo (one recompile per
+            # distinct setting); score_thresh is a runtime argument
+            combo_saved = self._apply_model_hparams(
+                {k: v for k, v in setting.items() if k != 'score_thresh'})
             matchers = LabelMatcherList(reduce_fn=reduce_fn)
             for image, labels in val_data:
                 if image.ndim == 2:
                     image = image[..., None]
-                pred = self._predict_single(np.asarray(image, np.float32), **setting)
+                pred = self._predict_single(np.asarray(image, np.float32),
+                                            score_thresh=setting.get('score_thresh'))
                 h, w = image.shape[:2]
                 if fast_labels:
                     # native scanline fill (last-wins overlaps)
@@ -268,8 +280,9 @@ class CPNTrainer:
                     # reference-exact: channelled render, overlaps preserved
                     # for the matcher (lightning_cpn.py:65-78)
                     pred_labels = contours2labels(list(pred['contours']), (h, w))
-                target_labels = labels.max(-1) if labels.ndim == 3 else labels
-                matchers.append(LabelMatcher(pred_labels, target_labels))
+                # pass channelled targets as-is: the matcher handles channels
+                # and collapsing with max() would erase overlapping instances
+                matchers.append(LabelMatcher(pred_labels, labels))
             metrics = {}
             for it in iou_threshs:
                 matchers.iou_thresh = it
@@ -280,8 +293,11 @@ class CPNTrainer:
             metrics['avg_f1'] = float(np.mean([metrics[f'avg_f1_{t}'] for t in iou_threshs]))
             results[combo] = metrics
             self.log_fn(f'val {setting}: f1_np={metrics["f1_np"]:.4f}')
+            self._apply_model_hparams(combo_saved)
         best_combo = max(results, key=lambda c: results[c]['f1_np'])
-        self.best_hparams = dict(zip(keys, best_combo))
+        # plain python floats: best_hparams lands in msgpack checkpoints
+        self.best_hparams = {k: (float(v) if isinstance(v, (np.floating, np.integer))
+                                 else v) for k, v in zip(keys, best_combo)}
         if calibrate:
             for k, v in self.best_hparams.items():
                 setattr(self.model, k, v)
@@ -294,14 +310,41 @@ class CPNTrainer:
 
     # --- prediction ---------------------------------------------------------
 
+    def _apply_model_hparams(self, hparams: dict) -> dict:
+        """Set model attributes (nms_thresh, certainty_thresh, ...) that are
+        baked into the jitted programs; returns the previous values. Caches
+        are cleared only when a value actually changes, so sweeping pays one
+        recompile per distinct setting, not per image."""
+        saved, changed = {}, False
+        for k, v in hparams.items():
+            if not hasattr(self.model, k):
+                raise AttributeError(f'Unknown model hparam for prediction: {k!r}')
+            cur = getattr(self.model, k)
+            saved[k] = cur
+            if cur != v:
+                setattr(self.model, k, v)
+                changed = True
+        if changed:
+            self.model._jit_cache.clear()
+            self._tiled = None
+        return saved
+
     def _predict_single(self, image: np.ndarray, **hparams) -> dict:
         h, w = image.shape[:2]
-        if max(h, w) > self.max_imsize:
-            tiled = TiledInference(self.model, tile_size=self.tile_size,
-                                   stride=self.tile_stride, mesh=self.mesh)
-            return tiled(image, score_thresh=hparams.get('score_thresh'))
-        out = self.model(image, **hparams)
-        return {k: (v[0] if isinstance(v, list) else v) for k, v in out.items()}
+        score_thresh = hparams.pop('score_thresh', None)
+        saved = self._apply_model_hparams(hparams) if hparams else {}
+        try:
+            if max(h, w) > self.max_imsize:
+                if getattr(self, '_tiled', None) is None:
+                    # cache: per-instance jits recompile on every call otherwise
+                    self._tiled = TiledInference(self.model, tile_size=self.tile_size,
+                                                 stride=self.tile_stride, mesh=self.mesh)
+                return self._tiled(image, score_thresh=score_thresh)
+            out = self.model(image, score_thresh=score_thresh)
+            return {k: (v[0] if isinstance(v, list) else v) for k, v in out.items()}
+        finally:
+            if saved:
+                self._apply_model_hparams(saved)
 
     def predict(self, images) -> List[dict]:
         """Predict on one or more images (auto-tiled when large)."""

@@ -369,3 +369,65 @@ def test_prepare_inputs_many_channels_nchw():
     # NHWC with 16 channels stays put
     x2 = np.zeros((2, 64, 48, 16), np.float32)
     assert m.prepare_inputs(x2).shape == (2, 64, 48, 16)
+
+
+def test_augmentation_albumentations_units():
+    from celldetection_tpu.data.augmentation import RandomGamma, GaussNoise, Compose
+
+    img = np.full((8, 8, 1), 0.5, np.float32)
+    # percent-style gamma limits (reference/albumentations config)
+    g = RandomGamma(gamma_limit=(80, 120), p=1.0)
+    out, _ = g(img, None, np.random.RandomState(0))
+    assert 0.3 < out.mean() < 0.8  # not image**100 ~ 0
+
+    # 0-255-unit noise variance rescales into [0,1] domain
+    gn = GaussNoise(var_limit=(10, 50), p=1.0)
+    out, _ = gn(img, None, np.random.RandomState(0))
+    assert abs(out.mean() - 0.5) < 0.1
+
+    # uint8 images survive the pipeline (converted in/out, not clipped to 0/1)
+    u8 = (np.random.RandomState(0).rand(8, 8, 1) * 200 + 20).astype(np.uint8)
+    pipe = Compose([GaussNoise(p=1.0)])
+    out, _ = pipe(u8, None, np.random.RandomState(0))
+    assert out.dtype == np.uint8 and len(np.unique(out)) > 10
+
+
+def test_normalize_percentile_two_sided():
+    from celldetection_tpu.data.misc import normalize_percentile
+
+    img = np.linspace(100, 4000, 10000, dtype=np.float32).reshape(100, 100)
+    out = normalize_percentile(img, 99.9)
+    assert out.min() == 0.0 and out.max() == 1.0  # baseline removed
+
+
+def test_basic_transforms_scalar_crop():
+    from celldetection_tpu.data.transforms import BasicTransforms
+
+    tf = BasicTransforms(crop_size=32, rng=np.random.RandomState(0))
+    img = np.random.RandomState(0).rand(64, 64).astype(np.float32)
+    lbl = np.zeros((64, 64), np.int32)
+    out = tf.transform_fit(image=img, labels=lbl)
+    assert out['image'].shape[:2] == (32, 32)
+
+
+def test_remove_padding_zero():
+    from celldetection_tpu.data.segmentation import remove_padding
+
+    a = np.ones((6, 6))
+    assert remove_padding(a, 0).shape == (6, 6)
+    assert remove_padding(a, 1).shape == (4, 4)
+
+
+def test_trainer_seed_controls_pipeline():
+    from celldetection_tpu.runtime.trainer import CPNTrainer
+    from celldetection_tpu import models
+
+    def batches_for(seed):
+        m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                          backbone_kwargs=dict(base_channels=8))
+        m.init(jax.random.PRNGKey(0), (1, 32, 32, 1))
+        tr = CPNTrainer(m, seed=seed)
+        rng = np.random.RandomState((tr.seed + 0) % (2 ** 31))
+        return rng.randint(0, 1 << 30)
+
+    assert batches_for(0) != batches_for(42)
