@@ -80,9 +80,15 @@ def get_activation(activation) -> Callable:
 
 class Norm(nn.Module):
     """String-dispatched normalization layer ('batchnorm2d', 'layernorm2d',
-    'groupnorm', 'instancenorm2d', None)."""
+    'groupnorm', 'instancenorm2d', None).
+
+    ``epsilon``/``momentum`` override the batchnorm defaults (torchvision
+    MobileNetV3 uses eps=1e-3, torch momentum 0.01 → flax momentum 0.99).
+    """
     kind: Union[str, None] = 'batchnorm2d'
     num_groups: int = 32
+    epsilon: Optional[float] = None
+    momentum: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,8 +96,11 @@ class Norm(nn.Module):
         if kind is None or kind in ('identity', 'none'):
             return x
         if kind.startswith('batchnorm'):
-            return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                                epsilon=BN_EPS, name='norm')(x)
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=self.momentum if self.momentum is not None
+                                else BN_MOMENTUM,
+                                epsilon=self.epsilon if self.epsilon is not None
+                                else BN_EPS, name='norm')(x)
         if kind.startswith('layernorm'):
             return nn.LayerNorm(epsilon=1e-5, name='norm')(x)
         if kind.startswith('groupnorm'):
@@ -271,7 +280,11 @@ class ReadOut(nn.Module):
         x = Norm(self.norm, name='norm')(x, train)
         x = get_activation(self.activation)(x)
         if self.dropout:
-            x = nn.Dropout(self.dropout, deterministic=not train, name='dropout')(x)
+            # spatial (whole-channel) dropout — parity with the reference's
+            # nn.Dropout2d; broadcast over the spatial dims
+            x = nn.Dropout(self.dropout, deterministic=not train,
+                           broadcast_dims=tuple(range(1, x.ndim - 1)),
+                           name='dropout')(x)
         x = nn.Conv(self.channels_out, (1,) * nd, name='conv1')(x)
         if self.final_activation is None:
             return x
@@ -318,6 +331,12 @@ class Normalize(nn.Module):
     assert_range: Optional[Tuple[float, float]] = (0., 1.)
 
     def __call__(self, x):
+        if self.assert_range is not None:
+            # clamp to the expected input range (the reference asserts on
+            # host; under jit we clamp, which also catches un-normalized
+            # 0-255 inputs instead of silently producing garbage)
+            lo, hi = self.assert_range
+            x = jnp.clip(x, lo, hi)
         mean = jnp.asarray(self.mean, x.dtype)
         std = jnp.asarray(self.std, x.dtype)
         return (x - mean) / std

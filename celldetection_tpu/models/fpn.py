@@ -87,21 +87,36 @@ def FPN(backbone, channels: int = 256, **kwargs):
     return BackboneWithFPN(body=backbone, out_channels=channels, **kwargs)
 
 
+def _warn_dropped_pretrained(pretrained):
+    if pretrained:
+        import warnings
+        warnings.warn('pretrained=True on a bare backbone constructor is not '
+                      'applied here — build the CPN with '
+                      "backbone_kwargs={'pretrained': True} (weights load after "
+                      'init via cdt.util.apply_pretrained_), or apply them '
+                      'manually.', stacklevel=3)
+
+
 def _res_fpn(resnet_ctor):
-    def ctor(in_channels, out_channels: int = 0, backbone_kwargs: dict = None,
+    def ctor(in_channels, fpn_channels: int = 256, backbone_kwargs: dict = None,
              pretrained=False, **kwargs):
+        # reference signature: second positional is the FPN width
+        # (celldetection/models/fpn.py:241); 0/None means default (the CPN
+        # zoo passes the UNet-style out_channels=0 sentinel positionally)
+        _warn_dropped_pretrained(pretrained)
         bk = dict(fused_initial=False)
         bk.update(backbone_kwargs or {})
         backbone = resnet_ctor(in_channels, **bk)
-        return FPN(backbone, **kwargs)
+        return FPN(backbone, channels=fpn_channels or 256, **kwargs)
     return ctor
 
 
 def _enc_fpn(ctor_fn):
-    def ctor(in_channels, out_channels: int = 0, backbone_kwargs: dict = None,
+    def ctor(in_channels, fpn_channels: int = 256, backbone_kwargs: dict = None,
              pretrained=False, **kwargs):
+        _warn_dropped_pretrained(pretrained)
         backbone = ctor_fn(in_channels, **(backbone_kwargs or {}))
-        return FPN(backbone, **kwargs)
+        return FPN(backbone, channels=fpn_channels or 256, **kwargs)
     return ctor
 
 

@@ -1,9 +1,13 @@
 """MobileNetV3 encoders — flax.linen (NHWC).
 
 Behavioral reference: ``celldetection/models/mobilenetv3.py:28-95``
-(torchvision-adapted MobileNetV3 Large/Small as multi-scale encoders).
-Inverted-residual settings follow the torchvision configuration tables.
+(torchvision-adapted MobileNetV3 Large/Small as multi-scale encoders):
+stem ConvBNActivation, inverted-residual stages, and the final 1x1
+ConvBNActivation ("lastconv", 6x the last block's channels) on the deepest
+level. BatchNorm uses torchvision's eps=1e-3 / torch momentum 0.01 (flax
+momentum 0.99). ``width_mult`` scales channels via the divisible-by-8 rule.
 """
+from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -13,6 +17,9 @@ from flax import linen as nn
 from .commons import Norm
 
 __all__ = ['MobileNetV3Large', 'MobileNetV3Small']
+
+# torchvision MobileNetV3 batchnorm configuration
+_BN = partial(Norm, 'batchnorm2d', epsilon=1e-3, momentum=0.99)
 
 
 def _make_divisible(v, divisor=8):
@@ -50,17 +57,17 @@ class _InvertedResidual(nn.Module):
         out = x
         if self.expanded != in_c:
             out = nn.Conv(self.expanded, (1, 1), use_bias=False, name='expand')(out)
-            out = Norm('batchnorm2d', name='expand_bn')(out, train)
+            out = _BN(name='expand_bn')(out, train)
             out = act(out)
         out = nn.Conv(self.expanded, (self.kernel,) * 2, strides=(self.stride,) * 2,
                       padding=self.kernel // 2, feature_group_count=self.expanded,
                       use_bias=False, name='dw')(out)
-        out = Norm('batchnorm2d', name='dw_bn')(out, train)
+        out = _BN(name='dw_bn')(out, train)
         out = act(out)
         if self.use_se:
             out = _SqueezeExcitation(_make_divisible(self.expanded // 4), name='se')(out)
         out = nn.Conv(self.out_c, (1, 1), use_bias=False, name='project')(out)
-        out = Norm('batchnorm2d', name='project_bn')(out, train)
+        out = _BN(name='project_bn')(out, train)
         return x + out if use_res else out
 
 
@@ -82,25 +89,37 @@ _SMALL = [
 ]
 
 
+def _scale_settings(settings, width_mult: float):
+    if width_mult == 1.0:
+        return [tuple(s) for s in settings]
+    adj = lambda c: _make_divisible(c * width_mult)
+    return [(k, adj(e), adj(o), se, hs, s) for (k, e, o, se, hs, s) in settings]
+
+
 class _MobileNetV3(nn.Module):
-    """MobileNetV3 encoder; features collected before each stride-2 block."""
+    """MobileNetV3 encoder; features collected before each stride-2 block.
+
+    The deepest level passes through the reference's final 1x1
+    ConvBNActivation (6x channels, Hardswish).
+    """
     settings: Tuple = tuple(_LARGE)
     in_channels: int = 3
+    stem_channels: int = 16
+
+    @property
+    def lastconv_channels(self):
+        return 6 * self.settings[-1][2]
 
     @property
     def out_channels(self):
-        oc = [16]
-        for (k, e, o, se, hs, s) in self.settings:
-            if s == 2:
-                oc.append(None)
-            oc[-1] = o
-        # stride-level output channels: channels of last block at each stride level
-        chans, cur = [], 16
+        # stride-level output channels: last block at each level; the deepest
+        # level reports the lastconv width (ref out_channels[-1] = 6*last)
+        chans, cur = [], self.stem_channels
         for (k, e, o, se, hs, s) in self.settings:
             if s == 2:
                 chans.append(cur)
             cur = o
-        chans.append(cur)
+        chans.append(self.lastconv_channels)
         return chans
 
     @property
@@ -110,8 +129,9 @@ class _MobileNetV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=1, use_bias=False, name='stem')(x)
-        x = Norm('batchnorm2d', name='stem_bn')(x, train)
+        x = nn.Conv(self.stem_channels, (3, 3), strides=(2, 2), padding=1,
+                    use_bias=False, name='stem')(x)
+        x = _BN(name='stem_bn')(x, train)
         x = jax.nn.hard_swish(x)
         features = {}
         idx = 0
@@ -120,15 +140,25 @@ class _MobileNetV3(nn.Module):
                 features[str(idx)] = x
                 idx += 1
             x = _InvertedResidual(k, e, o, se, hs, s, name=f'block{i}')(x, train)
+        x = nn.Conv(self.lastconv_channels, (1, 1), use_bias=False, name='lastconv')(x)
+        x = _BN(name='lastconv_bn')(x, train)
+        x = jax.nn.hard_swish(x)
         features[str(idx)] = x
         return features
 
 
-def MobileNetV3Large(in_channels, out_channels=0, pretrained=False, **kwargs):
-    kwargs.pop('nd', None)
-    return _MobileNetV3(settings=tuple(_LARGE), in_channels=in_channels)
+def _mobilenet(settings):
+    def ctor(in_channels, out_channels=0, pretrained=False, width_mult: float = 1.0,
+             reduced_tail: bool = False, dilated: bool = False, **kwargs):
+        kwargs.pop('nd', None)
+        if reduced_tail or dilated:
+            raise NotImplementedError('reduced_tail/dilated MobileNetV3 variants are '
+                                      'not implemented in this build')
+        stem = _make_divisible(16 * width_mult) if width_mult != 1.0 else 16
+        return _MobileNetV3(settings=tuple(_scale_settings(settings, width_mult)),
+                            in_channels=in_channels, stem_channels=stem)
+    return ctor
 
 
-def MobileNetV3Small(in_channels, out_channels=0, pretrained=False, **kwargs):
-    kwargs.pop('nd', None)
-    return _MobileNetV3(settings=tuple(_SMALL), in_channels=in_channels)
+MobileNetV3Large = _mobilenet(_LARGE)
+MobileNetV3Small = _mobilenet(_SMALL)

@@ -222,12 +222,25 @@ _RESNETS = {
     'ResNet101': ResNet101, 'ResNet152': ResNet152, 'ResNeXt50': ResNeXt50,
     'ResNeXt101': ResNeXt101, 'ResNeXt152': ResNeXt152,
     'WideResNet50': WideResNet50, 'WideResNet101': WideResNet101,
+    # reference/torchvision spellings
+    'ResNeXt50_32x4d': ResNeXt50, 'ResNeXt101_32x8d': ResNeXt101,
+    'ResNeXt152_32x8d': ResNeXt152,
+    'WideResNet50_2': WideResNet50, 'WideResNet101_2': WideResNet101,
 }
 
 
-def get_resnet(name: str, **kwargs):
-    """Look up a ResNet constructor by name (parity: ``get_resnet``)."""
+def get_resnet(name: str, in_channels: int = None, **kwargs):
+    """Look up a ResNet by name (parity: ``get_resnet``,
+    ``celldetection/models/resnet.py:503``). With ``in_channels`` (or any
+    kwargs) the encoder is instantiated like the reference; otherwise the
+    constructor is returned."""
+    norm = name.lower().replace('_', '')
     for key, fn in _RESNETS.items():
-        if key.lower() == name.lower().replace('_', ''):
+        if key.lower().replace('_', '') == norm:
+            if in_channels is not None:
+                return fn(in_channels, **kwargs)
+            if kwargs:
+                raise ValueError('get_resnet kwargs require in_channels '
+                                 '(instantiation, like the reference)')
             return fn
     raise KeyError(f'Unknown ResNet: {name}. Available: {sorted(_RESNETS)}')

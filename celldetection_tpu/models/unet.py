@@ -148,8 +148,14 @@ class GeneralizedUNet(nn.Module):
                 block_in = jnp.concatenate([lateral, top_down], -1)
                 last_inner = block_cls(out_list[i], name=f'layer{i}', **block_kwargs)(block_in, train)
             else:  # bridge block (no lateral features at this stride)
+                # inherit activation/norm from block_kwargs (ref:
+                # update_dict_(bridge_block_kwargs, block_kwargs,
+                # ('activation', 'norm_layer')))
+                bridge_kwargs = {k: v for k, v in block_kwargs.items()
+                                 if k in ('activation', 'norm_layer')}
                 last_inner = TwoConvNormRelu(out_list[i], use_bias=False,
-                                             name=f'layer{i}')(top_down, train)
+                                             name=f'layer{i}',
+                                             **bridge_kwargs)(top_down, train)
             if self.secondary_block is not None:
                 last_inner = self.secondary_block(name=f'secondary{i}')(last_inner, train)
             results.insert(0, last_inner)
@@ -306,6 +312,13 @@ def _backbone_unet(backbone_ctor, default_backbone_kwargs=None):
     """
     def ctor(in_channels, out_channels=0, final_activation=None, backbone_kwargs=None,
              pretrained=False, block_cls=None, **kwargs):
+        if pretrained:
+            import warnings
+            warnings.warn('pretrained=True on a bare backbone constructor is not '
+                          'applied here — build the CPN with '
+                          "backbone_kwargs={'pretrained': True} (weights load "
+                          'after init via cdt.util.apply_pretrained_).',
+                          stacklevel=2)
         bk = dict(default_backbone_kwargs or {})
         bk.update(backbone_kwargs or {})
         encoder = backbone_ctor(in_channels, **bk)

@@ -431,3 +431,58 @@ def test_trainer_seed_controls_pipeline():
         return rng.randint(0, 1 << 30)
 
     assert batches_for(0) != batches_for(42)
+
+
+def test_mobilenetv3_lastconv_and_width():
+    from celldetection_tpu.models import MobileNetV3Large, MobileNetV3Small
+
+    large = MobileNetV3Large(3)
+    assert large.out_channels[-1] == 960  # ref: 6 * 160 lastconv
+    small = MobileNetV3Small(3)
+    assert small.out_channels[-1] == 576  # ref: 6 * 96
+    v = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    feats = small.apply(v, jnp.zeros((1, 64, 64, 3)), False)
+    assert feats[str(len(small.out_channels) - 1)].shape[-1] == 576
+
+    narrow = MobileNetV3Small(3, width_mult=0.5)
+    assert narrow.out_channels[-1] < 576
+    with pytest.raises(NotImplementedError):
+        MobileNetV3Small(3, reduced_tail=True)
+
+
+def test_fpn_channels_positional():
+    from celldetection_tpu.models import ResNet18FPN
+
+    f = ResNet18FPN(1, 128)  # reference spelling: second positional = width
+    v = f.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), False)
+    out = f.apply(v, jnp.zeros((1, 64, 64, 1)), False)
+    assert out['0'].shape[-1] == 128
+    f2 = ResNet18FPN(1, fpn_channels=64)
+    assert f2.out_channels == 64
+    # the CPN zoo's out_channels=0 sentinel keeps the 256 default
+    assert ResNet18FPN(1, 0).out_channels == 256
+
+
+def test_get_resnet_reference_spellings():
+    from celldetection_tpu.models import get_resnet, ResNetEncoder
+
+    enc = get_resnet('ResNeXt50_32x4d', in_channels=1)
+    assert isinstance(enc, ResNetEncoder) and enc.groups == 32
+    ctor = get_resnet('resnet18')
+    assert callable(ctor)
+    enc2 = get_resnet('resnet50', in_channels=2, fused_initial=False)
+    assert enc2.fused_initial is False
+
+
+def test_unet_bridge_inherits_norm():
+    from celldetection_tpu.models import ResNet18UNet
+
+    from flax.traverse_util import flatten_dict
+
+    u = ResNet18UNet(1, block_kwargs=dict(norm_layer='groupnorm'))
+    v = u.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), False)
+    # block_kwargs styles the DECODER (incl. bridge layers): no decoder
+    # module may register batchnorm running stats (encoder body keeps its own)
+    decoder_bn = [p for p in flatten_dict(v.get('batch_stats', {}))
+                  if p[0] != 'body']
+    assert not decoder_bn, decoder_bn[:4]
