@@ -59,7 +59,11 @@ def dict2model(d: dict, **overrides):
     from ..models import get_cpn
     info = d['cdt.models']
     kwargs = dict(info['kwargs'])
-    name = overrides.pop('model', None) or kwargs.pop('model', None) or info.get('model')
+    override_name = overrides.pop('model', None)
+    stored_name = kwargs.pop('model', None)  # pop unconditionally: a stale
+    name = override_name or stored_name or info.get('model')  # name must not
+    if not isinstance(name, str):                             # reach the ctor
+        name = getattr(name, '__name__', str(name))
     kwargs.update(overrides)
     in_channels = kwargs.pop('in_channels')
     backbone_kwargs = kwargs.pop('backbone_kwargs', None)
@@ -71,10 +75,27 @@ def dict2model(d: dict, **overrides):
                                               for p in sig.parameters.values())}
     model = ctor(in_channels, backbone_kwargs=backbone_kwargs, **accepted)
     if 'params_bytes' in d:
-        input_shape = tuple(kwargs.get('input_shape') or (1, 128, 128, in_channels))
-        template = model.init(input_shape=input_shape)
+        input_shape = kwargs.get('input_shape')
+        if input_shape is None:
+            # template rank follows the model dimensionality (nd=3 models
+            # need a volumetric init input)
+            nd = (backbone_kwargs or {}).get('nd', 2)
+            spatial = (32,) * nd if nd != 2 else (128, 128)
+            input_shape = (1,) + spatial + (in_channels,)
+        template = model.init(input_shape=tuple(input_shape))
         model.variables = serialization.from_bytes(template, d['params_bytes'])
     return model
+
+
+def _json_safe(o):
+    """JSON fallback: numpy scalars become numbers (a blanket str() would
+    reload e.g. score_thresh as the string \"0.86\")."""
+    import numpy as _np
+    if isinstance(o, (_np.floating, _np.integer, _np.bool_)):
+        return o.item()
+    if isinstance(o, _np.ndarray):
+        return o.tolist()
+    return str(o)
 
 
 def save_model(filename: str, model, meta: Optional[dict] = None):
@@ -82,14 +103,25 @@ def save_model(filename: str, model, meta: Optional[dict] = None):
     import msgpack
     d = model2dict(model)
     payload = {
-        'cdt.models': json.dumps(d['cdt.models'], default=str),
+        'cdt.models': json.dumps(d['cdt.models'], default=_json_safe),
         'params_bytes': d['params_bytes'],
         'cdt.__version__': d['cdt.__version__'],
-        'meta': json.dumps(meta or {}),
+        'meta': json.dumps(meta or {}, default=_json_safe),
     }
     with open(filename, 'wb') as f:
         f.write(msgpack.packb(payload))
     return filename
+
+
+def load_model_meta(filename: str) -> dict:
+    """Read the metadata written by ``save_model`` (incl. the saving
+    package version under ``'cdt.__version__'``) without building the model."""
+    import msgpack
+    with open(filename, 'rb') as f:
+        payload = msgpack.unpackb(f.read(), strict_map_key=False)
+    meta = json.loads(payload.get('meta') or '{}')
+    meta.setdefault('cdt.__version__', payload.get('cdt.__version__'))
+    return meta
 
 
 def load_model(filename: str, **overrides):
@@ -152,10 +184,20 @@ def fetch_model(name: str, cache_dir: Optional[str] = None, check_hash: bool = T
     fn = os.path.join(cache_dir, url.rsplit('/', 1)[-1])
     if not os.path.isfile(fn):
         from urllib.request import urlretrieve
-        urlretrieve(url, fn)
+        # atomic download: a dropped connection must not leave a partial
+        # file that every later call would reuse
+        tmp = fn + '.part'
+        try:
+            urlretrieve(url, tmp)
+            os.replace(tmp, fn)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     if check_hash and '-' in os.path.basename(fn):
         expected = os.path.splitext(os.path.basename(fn))[0].rsplit('-', 1)[-1]
         actual = hash_file(fn)[:len(expected)]
         if expected != actual and len(expected) >= 8:
-            raise RuntimeError(f'Hash mismatch for {fn}: {actual} != {expected}')
+            os.remove(fn)  # force a clean re-fetch next time
+            raise RuntimeError(f'Hash mismatch for {fn} (corrupt download '
+                               f'removed): {actual} != {expected}')
     return load_model(fn, **overrides)

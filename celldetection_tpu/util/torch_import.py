@@ -29,6 +29,8 @@ def _conv_kernel(v: np.ndarray) -> np.ndarray:
 def _seq_convnorm(rest: str):
     """TwoConvNormRelu Sequential indices → (block name, leaf)."""
     m = re.match(r'(\d)\.(.*)', rest)
+    if m is None:
+        raise KeyError(f'Unrecognized TwoConvNormRelu key suffix: {rest!r}')
     idx, leaf = int(m.group(1)), m.group(2)
     block = {0: 'block0', 1: 'block0', 3: 'block1', 4: 'block1'}[idx]
     kind = 'conv' if idx in (0, 3) else 'norm'
@@ -82,9 +84,13 @@ def _translate_readout(out, head: str, rest: str, v):
 def _translate_resnet_stage(out, base: Tuple[str, ...], layer_name: str, rest: str, v):
     """layerN.<i>.conv1.weight / bn1.* / downsample.0/1.*"""
     m = re.match(r'(\d+)\.(.*)', rest)
+    if m is None:
+        raise KeyError(f'Unrecognized ResNet stage key: {layer_name}.{rest}')
     block_idx, sub = int(m.group(1)), m.group(2)
     path = base + (layer_name, f'block{block_idx}')
     m2 = re.match(r'(conv\d|bn\d|downsample)\.?(.*)', sub)
+    if m2 is None:
+        raise KeyError(f'Unrecognized ResNet block key: {layer_name}.{rest}')
     kind, leaf = m2.group(1), m2.group(2)
     if kind.startswith('conv'):
         _emit_conv(out, path + (kind,), leaf, v)
@@ -92,6 +98,8 @@ def _translate_resnet_stage(out, base: Tuple[str, ...], layer_name: str, rest: s
         _emit_norm(out, path + (kind,), leaf, v)
     else:  # downsample.0 conv / downsample.1 norm
         m3 = re.match(r'(\d)\.(.*)', leaf)
+        if m3 is None:
+            raise KeyError(f'Unrecognized downsample key: {layer_name}.{rest}')
         if m3.group(1) == '0':
             _emit_conv(out, path + ('downsample_conv',), m3.group(2), v)
         else:
@@ -297,6 +305,15 @@ def export_torch_state_dict(variables, fused_initial: bool = True,
             p = list(path)
             leaf = p[-1]
             is_kernel = leaf == 'kernel'
+            # --- multi-feature fuse layers (inverse of the *_fuse import) ---
+            if p[0].endswith('_fuse'):
+                if p[1] == 'conv':
+                    put(f'{p[0]}.block.0.{"weight" if is_kernel else "bias"}', v, is_kernel)
+                elif p[1] == 'norm':
+                    put(f'{p[0]}.block.1.{norm_suffix(coll, leaf)}', v, False)
+                else:
+                    raise KeyError(f'export: unknown fuse path {path}')
+                continue
             # --- heads ------------------------------------------------------
             if p[0].endswith('_head'):
                 head = p[0]
@@ -357,6 +374,9 @@ def export_torch_state_dict(variables, fused_initial: bool = True,
                     put(f'backbone.body.0.1.{norm_suffix(coll, leaf)}', v, False)
                     continue
                 m = re.match(r'layer(\d+)', p[2])
+                if m is None:
+                    raise KeyError(f'export: unknown resnet body path {path} '
+                                   f'(wrong encoder= setting?)')
                 layer_idx = int(m.group(1))
                 if fused_initial:
                     stage = '0.4' if layer_idx == 1 else str(layer_idx - 1)
@@ -390,7 +410,9 @@ def load_torch_cd_model(filename: str, input_shape=None, **overrides):
     data = torch.load(filename, map_location='cpu', weights_only=False)
     if 'cd.models' in data:
         info = data['cd.models']
-        model_name = info['model'] if isinstance(info['model'], str) else info['model']
+        stored = info['model']
+        model_name = overrides.pop('model', None) or (
+            stored if isinstance(stored, str) else getattr(stored, '__name__', str(stored)))
         kwargs = dict(info.get('kwargs', {}))
         kwargs.update(info.get('updated_kwargs', {}))
         state_dict = data['state_dict']
@@ -409,7 +431,12 @@ def load_torch_cd_model(filename: str, input_shape=None, **overrides):
     import inspect
     ctor = get_cpn(model_name)
     sig = inspect.signature(ctor)
-    accepted = {k: v for k, v in kwargs.items() if k in sig.parameters}
+    # the generated zoo ctors take most CPN options via **kwargs — admit them
+    # (dropping e.g. uncertainty_head/max_detections rebuilds a DIFFERENT
+    # architecture and breaks the strict import)
+    has_var_kw = any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values())
+    accepted = {k: v for k, v in kwargs.items()
+                if k in sig.parameters or has_var_kw}
     model = ctor(in_channels, backbone_kwargs=backbone_kwargs, **accepted)
     input_shape = input_shape or (1, 128, 128, in_channels)
     model.init(input_shape=tuple(input_shape))

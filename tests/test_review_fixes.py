@@ -486,3 +486,58 @@ def test_unet_bridge_inherits_norm():
     decoder_bn = [p for p in flatten_dict(v.get('batch_stats', {}))
                   if p[0] != 'body']
     assert not decoder_bn, decoder_bn[:4]
+
+
+def test_save_load_preserves_var_keyword_kwargs(tmp_path):
+    """cd-format round trips must keep CPN options passed via **kwargs
+    (max_detections, uncertainty-related settings, ...)."""
+    from celldetection_tpu import models, util
+
+    m = models.CpnU12(in_channels=1, max_detections=24, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    fn = util.save_model(str(tmp_path / 'm.cdt'), m)
+    back = util.load_model(fn)
+    assert back.max_detections == 24
+
+    # numpy scalar hparams survive as numbers, not strings
+    m.score_thresh = float(np.float32(0.86))
+    m.hparams['score_thresh'] = np.float32(0.86)
+    fn2 = util.save_model(str(tmp_path / 'm2.cdt'), m)
+    back2 = util.load_model(fn2)
+    assert isinstance(back2.score_thresh, float)
+
+    # metadata round trip
+    util.save_model(str(tmp_path / 'm3.cdt'), m, meta={'dataset': 'bbbc039'})
+    meta = util.serialization.load_model_meta(str(tmp_path / 'm3.cdt'))
+    assert meta['dataset'] == 'bbbc039' and meta.get('cdt.__version__')
+
+
+def test_export_handles_fuse_layers():
+    from celldetection_tpu.models.cpn import CPN
+    from celldetection_tpu.models.unet import U12
+    from celldetection_tpu.util.torch_import import (export_torch_state_dict,
+                                                     translate_cpn_state_dict,
+                                                     import_state_dict)
+
+    m = CPN(backbone=U12(in_channels=1, backbone_kwargs=dict(base_channels=8)),
+            max_detections=16, samples=8, score_features=['0', '1'])
+    m.init(input_shape=(1, 64, 64, 1))
+    sd = export_torch_state_dict(m.variables, encoder='unet')
+    assert any('score_fuse.block.0.weight' in k for k in sd)
+    # round-trip: re-import the exported dict into the same tree
+    flat = translate_cpn_state_dict(sd)
+    back = import_state_dict(m.variables, flat)
+    a = np.asarray(m.variables['params']['score_fuse']['conv']['kernel'])
+    b = np.asarray(back['params']['score_fuse']['conv']['kernel'])
+    np.testing.assert_allclose(a, b)
+
+
+def test_translate_unrecognized_key_raises_keyerror():
+    from celldetection_tpu.util.torch_import import translate_cpn_state_dict
+
+    with pytest.raises(KeyError):
+        translate_cpn_state_dict({
+            'backbone.body.1.1.0.se.fc1.weight': np.zeros((4, 4, 1, 1), np.float32),
+            'backbone.body.0.conv1.weight': np.zeros((8, 1, 7, 7), np.float32),
+        })
