@@ -22,15 +22,10 @@ URLS = (
 
 def download_bbbc038(directory: str):
     """Download and extract BBBC038 (https://bbbc.broadinstitute.org/BBBC038)."""
-    import zipfile
-    from urllib.request import urlretrieve
-    os.makedirs(directory, exist_ok=True)
+    from ._dl import download_and_extract
     for url in URLS:
-        fn = join(directory, url.rsplit('/', 1)[-1])
-        if not os.path.isfile(fn):
-            urlretrieve(url, fn)
-        with zipfile.ZipFile(fn) as z:
-            z.extractall(join(directory, fn.rsplit('.', 1)[0].rsplit('/', 1)[-1]))
+        stage = url.rsplit('/', 1)[-1].rsplit('.', 1)[0]
+        download_and_extract(url, directory, extract_to=join(directory, stage))
 
 
 class BBBC038Train:

@@ -24,26 +24,18 @@ URLS = [
 
 def download_bbbc039(directory: str):
     """Download and extract BBBC039 (https://bbbc.broadinstitute.org/BBBC039)."""
-    os.makedirs(directory, exist_ok=True)
+    from ._dl import download_and_extract
     for url in URLS:
-        fn = join(directory, url.rsplit('/', 1)[-1])
-        if not os.path.isfile(fn):
-            urlretrieve(url, fn)
-        with zipfile.ZipFile(fn) as z:
-            z.extractall(directory)
+        download_and_extract(url, directory)
 
 
 def _read_all(directory, filename):
-    if filename is None or directory is None:
-        return None
     with open(join(directory, filename)) as f:
         return [i.strip() for i in f.readlines()]
 
 
 def _load(images_directory, masks_directory, names):
     from imageio.v2 import imread
-    if None in (images_directory, masks_directory):
-        return None, None, None
     images = [imread(join(images_directory, f.replace('.png', '.tif'))) for f in names]
     masks = [imread(join(masks_directory, f)) for f in names]
     labels = [connected_label(m[:, :, 0]) for m in masks]

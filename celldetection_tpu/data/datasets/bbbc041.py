@@ -16,14 +16,8 @@ __all__ = ['BBBC041Train', 'BBBC041Test', 'download_bbbc041']
 def download_bbbc041(directory: str,
                      url: str = 'https://data.broadinstitute.org/bbbc/BBBC041/malaria.zip'):
     """Download and extract BBBC041 (https://bbbc.broadinstitute.org/BBBC041)."""
-    import zipfile
-    from urllib.request import urlretrieve
-    os.makedirs(directory, exist_ok=True)
-    fn = join(directory, url.rsplit('/', 1)[-1])
-    if not os.path.isfile(fn):
-        urlretrieve(url, fn)
-    with zipfile.ZipFile(fn) as z:
-        z.extractall(directory)
+    from ._dl import download_and_extract
+    download_and_extract(url, directory)
 
 CLASS_NAMES = ['red blood cell', 'leukocyte', 'gametocyte', 'ring', 'trophozoite',
                'schizont', 'difficult']

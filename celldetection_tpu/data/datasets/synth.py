@@ -13,19 +13,14 @@ def download_synth(directory: str, url: str = 'https://celldetection.org/data/sy
     """Download and extract the hosted Synth dataset (parity:
     ``celldetection/data/datasets/synth.py:10``). The in-memory generated
     splits above need no download; this fetches the reference's fixed copy."""
-    import os
-    import zipfile
-    from urllib.request import urlretrieve
-    os.makedirs(directory, exist_ok=True)
-    fn = os.path.join(directory, url.rsplit('/', 1)[-1])
-    if not os.path.isfile(fn):
-        urlretrieve(url, fn)
-    with zipfile.ZipFile(fn) as z:
-        z.extractall(directory)
+    from ._dl import download_and_extract
+    download_and_extract(url, directory)
 
 
 class _Synth:
-    SEEDS = {'train': 0, 'val': 10_000, 'test': 20_000}
+    # bases far apart so large n never overlaps split seed ranges (train
+    # seeds 0..n-1 duplicating val items would leak the validation set)
+    SEEDS = {'train': 0, 'val': 1 << 28, 'test': 1 << 29}
 
     def __init__(self, n: int = 32, height: int = 256, width: int = 256, mode: str = 'train', **kwargs):
         base = self.SEEDS[mode]

@@ -633,7 +633,9 @@ class CPN:
         return decoded
 
     def _jitted(self, nms: bool):
-        key = ('infer', nms)
+        # keyed by compute dtype so precision toggles (Inference(amp=...))
+        # reuse their compiled programs instead of recompiling
+        key = ('infer', nms, self.compute_dtype)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda v, x, st: self.forward_padded(v, x, score_thresh=st, nms=nms))

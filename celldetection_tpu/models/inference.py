@@ -21,12 +21,19 @@ class Inference:
 
     def __init__(self, model, amp: bool = False, transform=None):
         self.model = model
-        if amp:
-            model.compute_dtype = jnp.bfloat16
-            model._jit_cache.clear()
+        self.amp = amp
         self.transform = transform
 
     def __call__(self, inputs, **kwargs):
         if self.transform is not None:
             inputs = self.transform(inputs)
-        return self.model(inputs, **kwargs)
+        # scope low precision to this call (a permanent mutation would leak
+        # bf16 into every other user of the shared model); the model's jit
+        # cache is keyed by compute_dtype so toggling reuses compiled programs
+        want = jnp.bfloat16 if self.amp else None
+        prev = self.model.compute_dtype
+        self.model.compute_dtype = want
+        try:
+            return self.model(inputs, **kwargs)
+        finally:
+            self.model.compute_dtype = prev

@@ -69,12 +69,14 @@ def rasterize_labels_native(contours, size, num_threads: int = 0) -> Optional[np
     lib = _build_and_load()
     if lib is None:
         return None
-    counts = np.asarray([len(c) for c in contours], np.int64)
-    offsets = np.zeros(len(contours), np.int64)
-    if len(contours) > 1:
+    # reshape first, count from the reshaped rows: for flat (2n,) inputs
+    # len(c) != point count and the C++ fill would read past the buffer
+    arrs = [np.asarray(c, np.float64).reshape(-1, 2) for c in contours]
+    counts = np.asarray([len(a) for a in arrs], np.int64)
+    offsets = np.zeros(len(arrs), np.int64)
+    if len(arrs) > 1:
         offsets[1:] = np.cumsum(counts)[:-1]
-    flat = (np.concatenate([np.asarray(c, np.float64).reshape(-1, 2) for c in contours])
-            if len(contours) else np.zeros((0, 2)))
+    flat = np.concatenate(arrs) if arrs else np.zeros((0, 2))
     flat = np.ascontiguousarray(flat, np.float64)
     out = np.zeros(tuple(size), np.int32)
     if num_threads == 0:

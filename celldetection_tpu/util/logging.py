@@ -50,7 +50,9 @@ def log_figure(logger, tag: str, figure, step: int = 0, close: bool = True):
             import matplotlib.pyplot as plt
             plt.close(figure)
     else:
-        target = getattr(logger, 'path', 'logs')
-        out_dir = os.path.dirname(target) if isinstance(target, str) else 'logs'
+        target = getattr(logger, 'path', None)
+        # logger.path is a FILE inside the log dir; without one, use 'logs'
+        out_dir = (os.path.dirname(target) or '.') if isinstance(target, str) else 'logs'
+        os.makedirs(out_dir, exist_ok=True)
         save_fig(os.path.join(out_dir, f'{tag.replace("/", "_")}_{step}.png'), figure,
                  close=close)

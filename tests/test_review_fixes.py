@@ -541,3 +541,52 @@ def test_translate_unrecognized_key_raises_keyerror():
             'backbone.body.1.1.0.se.fc1.weight': np.zeros((4, 4, 1, 1), np.float32),
             'backbone.body.0.conv1.weight': np.zeros((8, 1, 7, 7), np.float32),
         })
+
+
+def test_native_rasterize_flat_contours():
+    """Counts derive from the reshaped point rows: a flat (2n,) contour must
+    not tell the C++ fill to read past the buffer."""
+    from celldetection_tpu.native import contours2labels_native
+
+    sq = np.array([2, 2, 10, 2, 10, 10, 2, 10], float)  # flat xyxy... square
+    out = contours2labels_native([sq], (16, 16))
+    if out is None:
+        pytest.skip('native lib unavailable')
+    assert (out > 0).sum() >= 49  # 8x8-ish filled square
+
+
+def test_inference_amp_scoped():
+    from celldetection_tpu import models
+    from celldetection_tpu.models.inference import Inference
+
+    m = models.CpnU12(in_channels=1, max_detections=16, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 32, 32, 1))
+    assert m.compute_dtype is None
+    infer = Inference(m, amp=True)
+    infer(np.zeros((32, 32, 1), np.float32), score_thresh=0.9)
+    # the shared model's precision is untouched after the call
+    assert m.compute_dtype is None
+
+
+def test_synth_split_seeds_disjoint():
+    from celldetection_tpu.data.datasets.synth import _Synth
+
+    bases = _Synth.SEEDS
+    assert bases['val'] - bases['train'] >= 1 << 20
+    assert bases['test'] - bases['val'] >= 1 << 20
+
+
+def test_log_figure_fallback_dir(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from celldetection_tpu.util.logging import log_figure
+
+    class L:
+        path = str(tmp_path / 'metrics.jsonl')
+
+    fig = plt.figure()
+    log_figure(L(), 'val/roc', fig, step=3)
+    import os
+    assert os.path.isfile(str(tmp_path / 'val_roc_3.png'))
