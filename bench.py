@@ -115,6 +115,15 @@ def main():
     for name in names:
         records.append(bench_model(name, batch, tile, iters, dtype_name))
 
+    # Workload-parity lines: the reference CLI default is fp32, batch 1
+    # (cpn_inference.py:446,450,916). "fp32" here means fp32 params and
+    # activations with the backend's default conv accumulation — the same
+    # contract as torch's fp32-with-TF32-convs default on A100.
+    if os.environ.get('BENCH_PARITY', '1') != '0':
+        for name in names:
+            for parity_dtype in ('float32', 'bfloat16'):
+                bench_model(name, 1, tile, iters, parity_dtype)
+
     if len(records) > 1:
         # Final combined line (the driver parses the last JSON line): the
         # binding constraint across both named models.

@@ -202,16 +202,15 @@ def contours2boxes(contours: np.ndarray) -> np.ndarray:
 
 def render_contour(contour, val=1, dtype='int32', round=False, reference=None, thickness=-1):
     """Rasterize one contour into a tight crop; returns (crop, (xmin, xmax), (ymin, ymax))."""
-    if reference is None:
-        reference = contour
-    xmin, ymin = np.floor(np.min(reference, axis=0)).astype('int')
-    xmax, ymax = np.ceil(np.max(reference, axis=0)).astype('int')
-    a = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=dtype)
-    if round:
-        contour = np.round(contour)
-    a = cv2.drawContours(a, [np.array(contour, dtype=np.int32).reshape((-1, 1, 2))], 0, val,
-                         thickness, offset=(-xmin, -ymin))
-    return a, (xmin, xmax), (ymin, ymax)
+    bounds = contour if reference is None else reference
+    (xmin, ymin), (xmax, ymax) = (fn(bounds, axis=0) for fn in (np.min, np.max))
+    xmin, ymin = int(np.floor(xmin)), int(np.floor(ymin))
+    xmax, ymax = int(np.ceil(xmax)), int(np.ceil(ymax))
+    pts = np.round(contour) if round else contour
+    pts = np.asarray(pts, dtype=np.int32).reshape((-1, 1, 2))
+    crop = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=dtype)
+    cv2.drawContours(crop, [pts], 0, val, thickness, offset=(-xmin, -ymin))
+    return crop, (xmin, xmax), (ymin, ymax)
 
 
 def clip_contour_(contour: np.ndarray, size):
@@ -430,36 +429,58 @@ def _contours2overlay_mp(contours, size, thickness=-1, rounded=True, clip=True,
 def mask_labels_by_distance_(labels: np.ndarray, distances: np.ndarray, max_bg_dist: float,
                              min_fg_dist: float):
     """Inplace: background ring → 0, uncertain ring → -1 (excluded from loss)."""
-    labels[np.logical_and(np.any(labels > 0, 2), distances <= max_bg_dist)] = 0
-    labels[np.logical_and(distances > max_bg_dist, distances < min_fg_dist)] = -1
+    fg = np.any(labels > 0, axis=2)
+    labels[fg & (distances <= max_bg_dist)] = 0
+    labels[(distances > max_bg_dist) & (distances < min_fg_dist)] = -1
 
 
-def _labels2distances_fg(labels, fg_mask_wo_overlap, distance_type):
-    dist = cv2.distanceTransform(fg_mask_wo_overlap.astype(np.uint8), distance_type, 3)
-    if labels.size > 0:
-        for p in regionprops(labels.max(-1) if labels.ndim == 3 else labels):
-            c = p.coords
-            indices = (c[:, 0], c[:, 1])
-            dist[indices] /= np.maximum(dist[indices].max(), 1e-6)
+def _iter_instance_slices(channel: np.ndarray):
+    """Yield ``(label_value, bbox_slices)`` for every instance in one label channel."""
+    from scipy import ndimage
+    for value, slices in enumerate(ndimage.find_objects(np.maximum(channel, 0)), 1):
+        if slices is not None:
+            yield value, slices
+
+
+def _labels2distances_fg(labels, single_support, distance_type):
+    """One global transform of the (non-overlap) foreground, peak-normalized per region."""
+    dist = cv2.distanceTransform(single_support.astype(np.uint8), distance_type, 3)
+    if labels.size:
+        flat = labels.max(-1) if labels.ndim == 3 else labels
+        for value, slices in _iter_instance_slices(flat):
+            inst = flat[slices] == value
+            view = dist[slices]
+            if inst.any():
+                view[inst] /= max(float(view[inst].max()), 1e-6)
     return dist
 
 
-def _labels2distances_instance(labels, fg_mask_wo_overlap, distance_type, protected_size=6 * 6):
-    dist = np.zeros_like(fg_mask_wo_overlap, dtype='float32')
-    if labels.size > 0:
-        for channel in range(labels.shape[2]):
-            for p in regionprops(labels[..., channel]):
-                y0, x0, y1, x1 = p.bbox
-                box_slices = (slice(y0, y1), slice(x0, x1))
-                mask = p.image & fg_mask_wo_overlap[box_slices]
-                d_ = cv2.distanceTransform(np.pad(mask.astype('uint8'), 1), distance_type, 3)[1:-1, 1:-1]
-                if mask.sum() > protected_size:
-                    d_max = d_.max()
-                    if d_max > 0:
-                        d_ /= d_max
-                d_ = d_.clip(0., 1.)
-                dist[box_slices][mask] = d_[mask]
-    return dist
+def _instance_norm_dist(crop_mask, distance_type, protected_size):
+    """Distance transform of one instance crop, peak-normalized unless tiny."""
+    padded = np.zeros((crop_mask.shape[0] + 2, crop_mask.shape[1] + 2), np.uint8)
+    padded[1:-1, 1:-1] = crop_mask
+    d = cv2.distanceTransform(padded, distance_type, 3)[1:-1, 1:-1]
+    peak = float(d.max())
+    if peak > 0 and np.count_nonzero(crop_mask) > protected_size:
+        d /= peak
+    return np.minimum(d, 1.0)
+
+
+def _labels2distances_instance(labels, single_support, distance_type, protected_size=36):
+    """Independent per-instance transforms, so touching instances keep separate peaks.
+
+    ``protected_size``: instances at or below this pixel count keep their raw
+    (clipped) distances — normalizing a 2-px-wide object would raise its whole
+    area to ~1 and destroy the fg/bg band structure.
+    """
+    out = np.zeros(labels.shape[:2], dtype='float32')
+    if labels.size:
+        for channel in np.moveaxis(labels, -1, 0):
+            for value, slices in _iter_instance_slices(channel):
+                inst = (channel[slices] == value) & single_support[slices]
+                if inst.any():
+                    out[slices][inst] = _instance_norm_dist(inst, distance_type, protected_size)[inst]
+    return out
 
 
 def labels2distances(labels: np.ndarray, distance_type=cv2.DIST_L2, overlap_zero: bool = True,
@@ -468,20 +489,17 @@ def labels2distances(labels: np.ndarray, distance_type=cv2.DIST_L2, overlap_zero
 
     Returns ``(distances, labels)`` — distances in [0, 1] with instance
     centers at 1; labels altered (overlap → -1) when ``overlap_zero``.
+    Behavioral parity: ``celldetection/data/cpn.py:461-497``.
     """
-    labels = np.copy(labels)
-    mask = labels > 0
+    labels = labels.copy()
+    support = np.count_nonzero(labels > 0, axis=2)
     if overlap_zero:
-        overlap_mask = np.sum(mask, 2) > 1
-        labels[overlap_mask] = -1
-        fg_mask_wo_overlap = np.sum(mask, 2) == 1
+        labels[support > 1] = -1
+        single = support == 1
     else:
-        fg_mask_wo_overlap = np.any(mask, 2)
-    if per_instance:
-        dist = _labels2distances_instance(labels, fg_mask_wo_overlap, distance_type, **kwargs)
-    else:
-        dist = _labels2distances_fg(labels, fg_mask_wo_overlap, distance_type, **kwargs)
-    return dist.clip(0., 1.), labels
+        single = support > 0
+    fn = _labels2distances_instance if per_instance else _labels2distances_fg
+    return np.clip(fn(labels, single, distance_type, **kwargs), 0., 1.), labels
 
 
 class CPNTargetGenerator:

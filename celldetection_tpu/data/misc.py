@@ -149,24 +149,34 @@ def resample_contours(contours, num: Union[int, float, None] = None, close: bool
     """
     if isinstance(contours, (list, tuple)):
         return type(contours)(resample_contours(c, num=num, close=close, epsilon=epsilon) for c in contours)
-    contours = np.asarray(contours, dtype=float)
+    pts = np.asarray(contours, dtype=float)
     if close:
-        contours = np.concatenate((contours, contours[..., :1, :]), -2)
-    dxy = np.diff(contours, axis=-2)
-    dt = np.sqrt(np.sum(np.square(dxy), axis=-1)) + epsilon
-    cumsum = np.cumsum(dt, axis=-1)
+        pts = np.concatenate((pts, pts[..., :1, :]), -2)
+    # Arc-length profile per contour: arc[..., i] = length of the polyline up to
+    # vertex i. Target samples are then located by a batched searchsorted over
+    # the profile (each row shifted into a disjoint numeric range so a single
+    # flat searchsorted resolves all rows at once).
+    seg_len = np.linalg.norm(np.diff(pts, axis=-2), axis=-1) + epsilon
+    arc = np.concatenate([np.zeros(seg_len.shape[:-1] + (1,), seg_len.dtype),
+                          np.cumsum(seg_len, axis=-1)], axis=-1)
+    total = arc[..., -1]
     if num is None or isinstance(num, float):
-        num = int(np.max(np.round(cumsum[..., -1])) * (num if isinstance(num, float) else 1))
-    cumsum0 = np.concatenate((np.zeros_like(cumsum[..., :1]), cumsum), -1)
-    ts = np.linspace(0, cumsum[..., -1], num + 1, axis=-1)[..., :-1]
-    # segment index of each sample: first segment whose cumsum >= t
-    v = ts[..., :, None] <= cumsum[..., None, :]
-    idx = np.where(v.max(-1))[:-1] + (np.argmax(v, axis=-1).ravel(),)
-    alpha = ((ts - cumsum0[idx].reshape(*ts.shape)) / dt[idx].reshape(*ts.shape))[..., None]
-    shape = contours.shape[:-2] + (num, 2)
-    start = contours[idx].reshape(shape)
-    end = contours[idx[:-1] + (idx[-1] + 1,)].reshape(shape)
-    return start * (1 - alpha) + end * alpha
+        num = int(np.max(np.round(total)) * (num if isinstance(num, float) else 1))
+    t = total[..., None] * (np.arange(num, dtype=float) / num)
+
+    p = pts.shape[-2]
+    flat_arc = arc.reshape(-1, p)
+    flat_t = t.reshape(-1, num)
+    flat_pts = pts.reshape(-1, p, 2)
+    rows = flat_arc.shape[0]
+    stride = float(flat_arc[:, -1].max()) + 1.0
+    shift = np.arange(rows, dtype=float)[:, None] * stride
+    ins = np.searchsorted((flat_arc + shift).ravel(), (flat_t + shift).ravel())
+    k = np.maximum(ins.reshape(rows, num) - np.arange(rows)[:, None] * p, 1) - 1
+    r = np.arange(rows)[:, None]
+    alpha = ((flat_t - flat_arc[r, k]) / (flat_arc[r, k + 1] - flat_arc[r, k]))[..., None]
+    out = flat_pts[r, k] * (1 - alpha) + flat_pts[r, k + 1] * alpha
+    return out.reshape(pts.shape[:-2] + (num, 2))
 
 
 def pad_to_size(v: np.ndarray, size, **kwargs) -> np.ndarray:

@@ -14,8 +14,12 @@ nested blocked loops:
      IoU computed from the planar rows, reduced over kept rows — pure VPU
      work with zero HBM re-reads.
 
-Keep sets match ``torchvision.ops.nms`` / ``nms_padded`` bit-for-bit (same
-visit order, same strictly-greater threshold test).
+Keep sets match ``nms_padded`` bit-for-bit: same visit order and the same
+``inter > thresh * union`` suppression test (``ops/boxes.py``
+``_suppression_matrix`` uses the identical multiply form, so the two backends
+round identically even on knife-edge IoU values). ``torchvision.ops.nms``
+computes ``inter / union > thresh``, which can differ on exact ties of the
+divide's rounding — equal keep sets on tie-free inputs.
 
 VMEM budget: ``[8, N]`` boxes + ``[1, N]`` mask + ``[tile, tile]`` scratch +
 ``[tile, cblk]`` working set ≈ 36·N bytes + 2.3 MB → N up to ~300k fits the

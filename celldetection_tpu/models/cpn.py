@@ -662,6 +662,18 @@ class CPN:
         x = jnp.asarray(x)
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.
+        elif isinstance(inputs, np.ndarray) and np.issubdtype(np.asarray(inputs).dtype, np.floating):
+            # Host-side misuse check (numpy inputs only — no device sync): a
+            # float input in 0-255 scale would be flattened to ~all-ones by
+            # the in-graph Normalize clamp; surface it instead (the reference
+            # asserts, celldetection/models/commons.py Normalize).
+            hi = float(np.max(inputs)) if np.asarray(inputs).size else 0.
+            if hi > 2.:
+                import warnings
+                warnings.warn(
+                    f'prepare_inputs: float input with max {hi:.3g} exceeds the '
+                    f'expected [0, 1] range; values are clamped by Normalize. '
+                    f'Scale inputs to [0, 1] (or pass uint8).')
         return x.astype(jnp.float32)
 
     def __call__(self, inputs, targets=None, nms: bool = True, score_thresh=None,

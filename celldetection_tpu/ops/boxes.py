@@ -92,6 +92,23 @@ def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.)
 
 
+def _suppression_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """``IoU > thresh`` as ``inter > thresh * union``, ``Array[n, m]`` bool.
+
+    The multiply form is used by both the XLA sweep and the Pallas kernel so
+    the two backends round identically on knife-edge IoU values (and it saves
+    a divide).
+    """
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[:, None] + area2[None, :] - inter
+    return jnp.where(union > 0, inter, 0.) > thresh * union
+
+
 def _pairwise_inter_union(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     area1 = box_area(boxes1)
     area2 = box_area(boxes2)
@@ -209,18 +226,18 @@ def _nms_sweep(b: jnp.ndarray, v: jnp.ndarray, iou_threshold: float, tile: int) 
         start = i * tile
         rows = jax.lax.dynamic_slice_in_dim(b, start, tile, 0)          # [T, 4]
         k = jax.lax.dynamic_slice_in_dim(keep, start, tile, 0)           # [T]
-        iou_rr = box_iou(rows, rows)                                     # [T, T]
+        sup_rr = _suppression_matrix(rows, rows, iou_threshold)          # [T, T]
         tri = jnp.arange(tile)
 
         def inner(j, k):
-            sup = (iou_rr[j] > iou_threshold) & (tri > j) & k[j]
+            sup = sup_rr[j] & (tri > j) & k[j]
             return k & ~sup
 
         k = jax.lax.fori_loop(0, tile, inner, k)
         keep = jax.lax.dynamic_update_slice_in_dim(keep, k, start, 0)
         # Suppress all strictly-later boxes against this tile's kept rows.
-        iou_rn = box_iou(rows, b)                                        # [T, M]
-        sup_any = jnp.any((iou_rn > iou_threshold) & k[:, None], 0)
+        sup_rn = _suppression_matrix(rows, b, iou_threshold)             # [T, M]
+        sup_any = jnp.any(sup_rn & k[:, None], 0)
         keep = keep & ~(sup_any & (pos >= start + tile))
         return keep
 
@@ -269,7 +286,9 @@ def nms_chunked(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         # wherever the boxes fit in VMEM — no chunking needed up to ~262k.
         from ..kernels.nms_pallas import nms_pallas_impl
         return nms_pallas_impl(boxes, scores, valid, iou_threshold)
-    assert chunk % tile == 0, 'chunk must be a multiple of tile'
+    # Callers pass arbitrary chunk sizes (e.g. the reference's
+    # NMS_BATCH_SIZE=50000 via batched_box_nmsi); round up to a tile multiple.
+    chunk += (-chunk) % tile
     cap = survivors_cap or 4 * chunk
     cap = min(cap, n)
     cap += (-cap) % tile

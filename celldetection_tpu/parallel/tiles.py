@@ -296,8 +296,11 @@ def multihost_tiled_inference(tiled: 'TiledInference', image: np.ndarray,
     out = {k: cat[k][keep] for k in keys if k != 'valid'}
     out['num_tiles'] = t
     out['num_valid'] = int(keep.sum())
-    # overflow must be identical on every host: gather the per-process flags
-    local_ovf = np.asarray([int(np.asarray(local['num_valid']) > tiled.max_outputs)],
+    # overflow must be identical on every host: gather the per-process flags.
+    # Mirror TiledInference.__call__: both output-cap and pre-NMS candidate-cap
+    # truncation count as overflow.
+    local_ovf = np.asarray([int(np.asarray(local['num_valid']) > tiled.max_outputs
+                                or np.asarray(flat['num_pre_valid']) > tiled.max_candidates)],
                            np.int32)
     out['overflow'] = bool(np.asarray(
         multihost_utils.process_allgather(local_ovf)).max())

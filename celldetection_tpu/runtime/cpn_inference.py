@@ -289,9 +289,13 @@ def cpn_inference(
                                 model.nms_thresh, reps=reps,
                                 point_mask_exclusive=point_mask_exclusive)
             h, w = img.shape[:2]
-            if multi and jax.process_index() != 0:
-                # replicated result; one writer per input (parity: rank 0
-                # writes, cpn_inference.py:798-863)
+            if (jax.process_count() > 1 and group_level == 'job'
+                    and jax.process_index() != 0):
+                # With group_level='job' every process holds the same result —
+                # via the multihost collective path or by redundant compute
+                # (reps>1 / masks / ensemble). Exactly one writer per input,
+                # or concurrent writers corrupt shared-filesystem outputs
+                # (parity: rank 0 writes, cpn_inference.py:798-863).
                 results.append(res)
                 continue
             to_h5(out_fn,

@@ -404,10 +404,17 @@ def load_torch_cd_model(filename: str, input_shape=None, **overrides):
     """Load a reference cd-format ``.pt``/Lightning ``.ckpt`` checkpoint.
 
     Rebuilds the equivalent cdt model from the stored class name + kwargs and
-    imports the weights. Requires the (CPU) ``torch`` package to unpickle.
+    imports the weights. torch is NOT required: zip-format checkpoints (torch
+    >= 1.6, incl. the hosted ginoro model) unpickle through the restricted
+    torch-free reader (:mod:`..util.pt_pickle`); only legacy pre-1.6 files
+    fall back to the torch package.
     """
-    import torch
-    data = torch.load(filename, map_location='cpu', weights_only=False)
+    from .pt_pickle import PTUnpickleError, load_pt
+    try:
+        data = load_pt(filename)
+    except PTUnpickleError:
+        import torch  # legacy non-zip format: requires torch
+        data = torch.load(filename, map_location='cpu', weights_only=False)
     if 'cd.models' in data:
         info = data['cd.models']
         stored = info['model']

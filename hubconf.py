@@ -10,7 +10,7 @@ or via this hubconf::
     from hubconf import ginoro
     model = ginoro()
 """
-dependencies = ['jax', 'flax', 'numpy', 'torch']  # torch: ginoro .pt unpickling
+dependencies = ['jax', 'flax', 'numpy']  # .pt ingestion is torch-free (util/pt_pickle.py)
 
 
 def ginoro(**kwargs):
@@ -18,7 +18,7 @@ def ginoro(**kwargs):
 
     Requires network egress (or a locally cached/provided checkpoint path via
     ``cdt.load_model``). The torch ``.pt`` checkpoint is ingested through the
-    state-dict transport layer.
+    torch-free zipfile+pickle reader and the state-dict transport layer.
     """
     from celldetection_tpu.util.serialization import fetch_model
     return fetch_model('ginoro_CpnResNeXt101UNet-fbe875f1b3e5ce2c', **kwargs)

@@ -553,11 +553,17 @@ def install():  # noqa: C901 - one long, linear setup function by design
         sk_mod.img_as_ubyte = img_as_ubyte
         sk_measure = _new_module('skimage.measure')
 
-        def regionprops(*a, **k):
-            raise NotImplementedError('refshim stub skimage.measure.regionprops')
+        # Functional: the reference's target-encoding path iterates regionprops
+        # (celldetection/data/cpn.py:115,437,447); back it with our scipy-based
+        # engine, which provides the label/bbox/image/coords subset it uses.
+        from celldetection_tpu.data._regionprops import regionprops as _cdt_regionprops
 
-        sk_measure.regionprops = regionprops
-        sk_measure.label = regionprops
+        sk_measure.regionprops = _cdt_regionprops
+
+        def _sk_label(*a, **k):
+            raise NotImplementedError('refshim stub skimage.measure.label')
+
+        sk_measure.label = _sk_label
         sk_mod.measure = sk_measure
         sk_morph = _new_module('skimage.morphology')
         sk_mod.morphology = sk_morph
