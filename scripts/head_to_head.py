@@ -1,0 +1,299 @@
+"""Offline accuracy head-to-head: torch reference vs TPU rebuild, same data.
+
+Trains the *actual* reference package (``/root/reference/celldetection``,
+executed on CPU via ``tests/refshim.py``) and this framework on an identical
+synthetic dataset (the ``scripts/eval_bbbc039.py --synthetic`` workload), then
+evaluates both with the same LabelMatcher sweep (reference protocol:
+``celldetection/models/lightning_base.py:544-723``, ``lightning_cpn.py:65-78``)
+and the same contour renderer, producing a side-by-side f1@[.5:.9] table.
+
+Also runs the trained-checkpoint transport parity checks (VERDICT r2 #2):
+  - reference-trained state dict -> import -> our forward  (f1 curve parity)
+  - our trained params -> export_torch_state_dict -> reference forward
+
+Stages (artifacts under --out-dir so stages can run separately):
+    python scripts/head_to_head.py --stage ref      # train + eval reference (CPU)
+    python scripts/head_to_head.py --stage tpu      # train + eval rebuild (TPU/CPU)
+    python scripts/head_to_head.py --stage transport
+    python scripts/head_to_head.py --stage report   # merge + print table
+
+Training recipe mirrors the reference demos (``demos/demo-binary.ipynb``:
+model(inputs, targets=batch) -> outputs['loss']; Adam(8e-4) from
+``demos/Cell Detection with Contour Proposal Networks.ipynb``).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, 'tests'))
+
+SCORE_SWEEP = (.5, .86, .88, .9, .92)  # parity: lightning_cpn.py:36-39
+IOU_THRESHS = (.5, .6, .7, .8, .9)
+ORDER, SAMPLES = 5, 32  # CpnU22 defaults, both frameworks
+
+
+def synthetic_split(n, seed, size=256):
+    from celldetection_tpu import data
+    out = []
+    for i in range(n):
+        img, labels = data.random_geometric_objects(size, size, num=24,
+                                                    radius=(7, 16), seed=seed + i)
+        out.append((img.astype(np.float32)[..., None], labels))
+    return out
+
+
+def evaluate_sweep(predict_fn, val_data, score_threshs=SCORE_SWEEP,
+                   iou_threshs=IOU_THRESHS, log=print):
+    """Score-thresh sweep + IoU reduction with the shared metric engine.
+
+    ``predict_fn(image[H,W,1], score_thresh) -> list of (S, 2) contours``.
+    """
+    from celldetection_tpu.data import LabelMatcher, LabelMatcherList
+    from celldetection_tpu.native import contours2labels_native
+    results = {}
+    for st in score_threshs:
+        matchers = LabelMatcherList()
+        for image, labels in val_data:
+            contours = predict_fn(image, st)
+            pred_labels = contours2labels_native(list(contours), image.shape[:2])
+            matchers.append(LabelMatcher(pred_labels, labels))
+        metrics = {}
+        for it in iou_threshs:
+            matchers.iou_thresh = it
+            metrics[f'f1_np_{it}'] = matchers.f1_np
+            metrics[f'jaccard_np_{it}'] = matchers.jaccard_np
+        metrics['f1_np'] = float(np.mean([metrics[f'f1_np_{t}'] for t in iou_threshs]))
+        results[st] = metrics
+        log(f'  score_thresh={st}: f1_np={metrics["f1_np"]:.4f}')
+    best = max(results, key=lambda s: results[s]['f1_np'])
+    out = dict(results[best])
+    out['best_score_thresh'] = best
+    out['per_iou'] = {str(t): round(out[f'f1_np_{t}'], 4) for t in iou_threshs}
+    return out
+
+
+# --------------------------------------------------------------- reference side
+
+def build_ref_model(cd, torch, in_channels=1, seed=0):
+    torch.manual_seed(seed)
+    return cd.models.CpnU22(in_channels=in_channels, order=ORDER, samples=SAMPLES)
+
+
+def ref_targets(cd, labels, rng):
+    """Demo-binary target dict for one item (demos/demo-binary.ipynb)."""
+    np.random.seed(rng.randint(2 ** 31))  # generator sampling uses global state
+    gen = cd.data.CPNTargetGenerator(samples=SAMPLES, order=ORDER)
+    gen.feed(labels=np.ascontiguousarray(labels))
+    return {
+        'labels': gen.reduced_labels,
+        'fourier': (gen.fourier.astype('float32'),),
+        'locations': (gen.locations.astype('float32'),),
+        'sampled_contours': (gen.sampled_contours.astype('float32'),),
+        'hires_sampled_contours': (gen.resampled_contours.astype('float32'),),
+        'sampling': (gen.sampling.astype('float32'),),
+    }
+
+
+def ref_predict_fn(cd, torch, model):
+    def predict(image, score_thresh):
+        model.eval()
+        model.score_thresh = score_thresh
+        x = torch.from_numpy(np.ascontiguousarray(image.transpose(2, 0, 1)))[None]
+        with torch.no_grad():
+            out = model(x)
+        cons = out['contours'][0]
+        return [np.asarray(c, np.float32) for c in cons]
+    return predict
+
+
+def stage_ref(args):
+    import refshim
+    refshim.install()
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    import celldetection as cd
+    import torch
+
+    train_data = synthetic_split(args.n_train, seed=0)
+    val_data = synthetic_split(args.n_val, seed=1000)
+    model = build_ref_model(cd, torch)
+    opt = torch.optim.Adam(model.parameters(), lr=args.lr)
+    rng = np.random.RandomState(1)
+    model.train()
+    t0 = time.time()
+    step = 0
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(train_data))
+        for i in range(0, len(order), args.batch_size):
+            idx = order[i:i + args.batch_size]
+            items = []
+            for j in idx:
+                img, labels = train_data[int(j)]
+                d = ref_targets(cd, labels, rng)
+                d['inputs'] = img.astype('float32')
+                items.append(d)
+            batch = cd.universal_dict_collate_fn(items)
+            opt.zero_grad()
+            outputs = model(batch['inputs'], targets=batch)
+            outputs['loss'].backward()
+            opt.step()
+            step += 1
+        if (epoch + 1) % max(args.epochs // 10, 1) == 0:
+            print(f'[ref] epoch {epoch + 1}/{args.epochs} '
+                  f'loss={float(outputs["loss"].detach()):.4f} '
+                  f'({time.time() - t0:.0f}s)', flush=True)
+    metrics = evaluate_sweep(ref_predict_fn(cd, torch, model), val_data)
+    metrics['train_seconds'] = round(time.time() - t0, 1)
+    metrics['steps'] = step
+    os.makedirs(args.out_dir, exist_ok=True)
+    torch.save(model.state_dict(), os.path.join(args.out_dir, 'ref_trained.pt'))
+    with open(os.path.join(args.out_dir, 'ref_results.json'), 'w') as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps({'stage': 'ref', **{k: metrics[k] for k in
+                                         ('f1_np', 'per_iou', 'best_score_thresh')}}),
+          flush=True)
+
+
+# ----------------------------------------------------------------- rebuild side
+
+def stage_tpu(args):
+    from celldetection_tpu import models, util
+    from celldetection_tpu.runtime.trainer import CPNTrainer
+    import optax
+
+    train_data = synthetic_split(args.n_train, seed=0)
+    val_data = synthetic_split(args.n_val, seed=1000)
+    model = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES,
+                          max_detections=512)
+    model.init(input_shape=(1, 256, 256, 1))
+    trainer = CPNTrainer(model, optimizer=optax.adam(args.lr),
+                         val_hparams={'score_thresh': list(SCORE_SWEEP)})
+    t0 = time.time()
+    trainer.fit(train_data, epochs=args.epochs, batch_size=args.batch_size,
+                crop_size=256)
+    train_seconds = round(time.time() - t0, 1)
+    metrics = trainer.validate(val_data, iou_threshs=IOU_THRESHS)
+    out = {f'f1_np_{t}': metrics[f'f1_np_{t}'] for t in IOU_THRESHS}
+    out['f1_np'] = metrics['f1_np']
+    out['per_iou'] = {str(t): round(metrics[f'f1_np_{t}'], 4) for t in IOU_THRESHS}
+    out['best_score_thresh'] = metrics['best_hparams'].get('score_thresh')
+    out['train_seconds'] = train_seconds
+    os.makedirs(args.out_dir, exist_ok=True)
+    util.save_model(os.path.join(args.out_dir, 'tpu_trained.cdt'), model)
+    with open(os.path.join(args.out_dir, 'tpu_results.json'), 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({'stage': 'tpu', **{k: out[k] for k in
+                                         ('f1_np', 'per_iou', 'best_score_thresh')}}),
+          flush=True)
+
+
+# ------------------------------------------------------------------- transport
+
+def stage_transport(args):
+    """Both transport directions with *trained* weights (BN running stats,
+    calibrated thresholds) — VERDICT r2 item 2."""
+    import refshim
+    refshim.install()
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    import celldetection as cd
+    import torch
+    from celldetection_tpu import models, util
+
+    val_data = synthetic_split(args.n_val, seed=1000)
+    report = {}
+
+    # --- direction 1: reference-trained -> our model
+    ref_model = build_ref_model(cd, torch)
+    ref_model.load_state_dict(torch.load(os.path.join(args.out_dir, 'ref_trained.pt'),
+                                         weights_only=True))
+    ref_results = json.load(open(os.path.join(args.out_dir, 'ref_results.json')))
+    our = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES, max_detections=512)
+    our.init(input_shape=(1, 256, 256, 1))
+    sd = {k[len('core.'):]: v.numpy() for k, v in ref_model.state_dict().items()
+          if k != 'order_weights'}
+    flat = util.translate_cpn_state_dict(sd)
+    our.variables = util.import_state_dict(our.variables, flat, strict=True)
+
+    def our_predict(image, score_thresh):
+        out = our(image, score_thresh=score_thresh)
+        return [np.asarray(c) for c in out['contours'][0]]
+
+    imp = evaluate_sweep(our_predict, val_data)
+    report['ref_to_tpu'] = {
+        'f1_np': imp['f1_np'], 'per_iou': imp['per_iou'],
+        'source_f1_np': ref_results['f1_np'],
+        'delta_f1_np': round(imp['f1_np'] - ref_results['f1_np'], 4),
+        'per_iou_delta': {k: round(imp['per_iou'][k] - ref_results['per_iou'][k], 4)
+                          for k in imp['per_iou']},
+    }
+
+    # --- direction 2: our trained -> reference model
+    ours_trained = util.load_model(os.path.join(args.out_dir, 'tpu_trained.cdt'))
+    tpu_results = json.load(open(os.path.join(args.out_dir, 'tpu_results.json')))
+    ref2 = build_ref_model(cd, torch)
+    exported = util.export_torch_state_dict(ours_trained.variables)
+    ref2.core.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                               for k, v in exported.items()})
+    exp = evaluate_sweep(ref_predict_fn(cd, torch, ref2), val_data)
+    report['tpu_to_ref'] = {
+        'f1_np': exp['f1_np'], 'per_iou': exp['per_iou'],
+        'source_f1_np': tpu_results['f1_np'],
+        'delta_f1_np': round(exp['f1_np'] - tpu_results['f1_np'], 4),
+        'per_iou_delta': {k: round(exp['per_iou'][k] - tpu_results['per_iou'][k], 4)
+                          for k in exp['per_iou']},
+    }
+    with open(os.path.join(args.out_dir, 'transport_results.json'), 'w') as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({'stage': 'transport', **report}), flush=True)
+
+
+def stage_report(args):
+    ref = json.load(open(os.path.join(args.out_dir, 'ref_results.json')))
+    tpu = json.load(open(os.path.join(args.out_dir, 'tpu_results.json')))
+    tr_path = os.path.join(args.out_dir, 'transport_results.json')
+    transport = json.load(open(tr_path)) if os.path.isfile(tr_path) else None
+    print('| IoU | reference (torch, CPU) | rebuild (TPU) | delta |')
+    print('|---|---|---|---|')
+    for t in IOU_THRESHS:
+        r, o = ref['per_iou'][str(t)], tpu['per_iou'][str(t)]
+        print(f'| {t} | {r:.4f} | {o:.4f} | {o - r:+.4f} |')
+    print(f'| mean | {ref["f1_np"]:.4f} | {tpu["f1_np"]:.4f} | '
+          f'{tpu["f1_np"] - ref["f1_np"]:+.4f} |')
+    record = {
+        'metric': 'head-to-head synthetic f1_np@[.5:.9] (ref vs rebuild, '
+                  'same data, same eval)',
+        'reference': ref['per_iou'], 'rebuild': tpu['per_iou'],
+        'reference_mean': round(ref['f1_np'], 4), 'rebuild_mean': round(tpu['f1_np'], 4),
+        'delta_mean': round(tpu['f1_np'] - ref['f1_np'], 4),
+    }
+    if transport:
+        record['transport'] = {k: {'delta_f1_np': v['delta_f1_np'],
+                                   'per_iou_delta': v['per_iou_delta']}
+                               for k, v in transport.items()}
+    print(json.dumps(record), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--stage', choices=['ref', 'tpu', 'transport', 'report'],
+                    required=True)
+    ap.add_argument('--out-dir', default='/tmp/h2h')
+    ap.add_argument('--epochs', type=int, default=80)
+    ap.add_argument('--batch-size', type=int, default=4)
+    ap.add_argument('--lr', type=float, default=8e-4)
+    ap.add_argument('--n-train', type=int, default=24)
+    ap.add_argument('--n-val', type=int, default=8)
+    args = ap.parse_args()
+    {'ref': stage_ref, 'tpu': stage_tpu,
+     'transport': stage_transport, 'report': stage_report}[args.stage](args)
+
+
+if __name__ == '__main__':
+    main()
