@@ -864,35 +864,60 @@ def _register_backbone_cpns():
         return build_host_encoder(adapter_name, model_name, in_channels=in_channels,
                                   pretrained=pretrained, backbone_kwargs=backbone_kwargs)
 
+    def _resolve_encoder(adapter_name, model_name, in_channels, pretrained,
+                         backbone_kwargs):
+        """Native flax encoder when the name has one; host callback otherwise.
+
+        Returns ``(module, out_channels, out_strides)`` — the module runs on
+        TPU for every name in ``host_encoder.NATIVE_ENCODER_NAMES`` (pass
+        ``backbone_kwargs={'force_host': True}`` to skip native resolution).
+        """
+        from .host_encoder import HostEncoder, resolve_native_encoder
+        bk = dict(backbone_kwargs or {})
+        if not bk.pop('force_host', False):
+            native = resolve_native_encoder(model_name, in_channels,
+                                            backbone_kwargs=bk)
+            if native is not None:
+                return native, list(native.out_channels), list(native.out_strides)
+        enc, trainable = _host_enc(adapter_name, model_name, in_channels,
+                                   pretrained, bk)
+        host = HostEncoder(enc, trainable=trainable)
+        return host, list(enc.out_channels), list(enc.out_strides)
+
     def _host_unet(adapter_name):
         def ctor(in_channels, out_channels=0, model_name=None, backbone_kwargs=None,
                  pretrained=False, **kw):
-            from .host_encoder import HostEncoder
-            enc, trainable = _host_enc(adapter_name, model_name, in_channels,
-                                       pretrained, backbone_kwargs)
-            host = HostEncoder(enc, trainable=trainable)
-            return unet_lib.UNet(body=host, in_channels_list=list(enc.out_channels),
-                                 in_strides_list=list(enc.out_strides),
+            body, chans, strides = _resolve_encoder(adapter_name, model_name,
+                                                    in_channels, pretrained,
+                                                    backbone_kwargs)
+            return unet_lib.UNet(body=body, in_channels_list=chans,
+                                 in_strides_list=strides,
                                  out_channels=out_channels, **kw)
         return ctor
 
     def _host_manet(adapter_name):
         def ctor(in_channels, out_channels=0, model_name=None, backbone_kwargs=None,
                  pretrained=False, **kw):
-            from .host_encoder import HostEncoder
             from . import manet as manet_lib2
-            enc, trainable = _host_enc(adapter_name, model_name, in_channels,
-                                       pretrained, backbone_kwargs)
-            return manet_lib2.MaNet(body=HostEncoder(enc, trainable=trainable), **kw)
+            body, _, _ = _resolve_encoder(adapter_name, model_name, in_channels,
+                                          pretrained, backbone_kwargs)
+            return manet_lib2.MaNet(body=body, **kw)
         return ctor
 
     def _host_cpn(backbone_fn, cpn_name):
         def ctor(in_channels: int, model_name: str, backbone_kwargs: dict = None, **kwargs):
+            from .host_encoder import HostEncoder
             bb_kwargs = dict(backbone_kwargs or {})
             pretrained = bb_kwargs.pop('pretrained', False)
             backbone = backbone_fn(in_channels, 0, model_name=model_name,
                                    backbone_kwargs=bb_kwargs, pretrained=pretrained)
             m = CPN(backbone=backbone, **kwargs)
+            if pretrained and not isinstance(getattr(backbone, 'body', None),
+                                             HostEncoder):
+                # natively-resolved encoder: ImageNet weights are applied at
+                # init time through the standard translation path (host
+                # encoders load theirs inside the torch adapter instead)
+                m.pretrained = pretrained
             # persist the full rebuild recipe (incl. trainable host encoders)
             # so save/load round-trips reconstruct the same param tree
             m.hparams.update(in_channels=in_channels, model=cpn_name,

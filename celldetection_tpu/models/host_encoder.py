@@ -26,7 +26,60 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ['HostEncoder', 'build_host_encoder']
+__all__ = ['HostEncoder', 'build_host_encoder', 'resolve_native_encoder',
+           'NATIVE_ENCODER_NAMES']
+
+# timm / smp encoder names with a native flax implementation in this package.
+# Resolution happens in :func:`resolve_native_encoder`: these run as real TPU
+# compute (XLA-compiled), not host callbacks — only names outside this table
+# fall back to the torch host path. smp prefixes ('timm-', 'tu-') are
+# stripped before lookup. Reference behavior: timm/smp encoders in
+# ``celldetection/models/timmodels.py:94-229`` / ``smp.py:10-80``.
+NATIVE_ENCODER_NAMES = {
+    'resnet18': 'ResNet18', 'resnet34': 'ResNet34', 'resnet50': 'ResNet50',
+    'resnet101': 'ResNet101', 'resnet152': 'ResNet152',
+    'resnext50_32x4d': 'ResNeXt50', 'resnext101_32x8d': 'ResNeXt101',
+    'wide_resnet50_2': 'WideResNet50', 'wide_resnet101_2': 'WideResNet101',
+    'densenet121': 'DenseNet121', 'densenet161': 'DenseNet161',
+    'densenet169': 'DenseNet169', 'densenet201': 'DenseNet201',
+    'convnext_tiny': 'ConvNeXtTiny', 'convnext_small': 'ConvNeXtSmall',
+    'convnext_base': 'ConvNeXtBase', 'convnext_large': 'ConvNeXtLarge',
+    'convnextv2_tiny': 'ConvNeXtV2Tiny', 'convnextv2_base': 'ConvNeXtV2Base',
+    'mobilenetv3_large_100': 'MobileNetV3Large',
+    'mobilenetv3_small_100': 'MobileNetV3Small',
+}
+
+
+def normalize_encoder_name(model_name: str) -> str:
+    """Strip smp's 'timm-'/'tu-' prefixes and lowercase for table lookup."""
+    name = (model_name or '').lower()
+    for prefix in ('timm-', 'tu-'):
+        if name.startswith(prefix):
+            name = name[len(prefix):]
+    return name
+
+
+def resolve_native_encoder(model_name: str, in_channels: int = 3,
+                           backbone_kwargs: dict = None):
+    """timm/smp encoder name → native flax encoder module, or ``None``.
+
+    The returned module exposes ``out_channels`` / ``out_strides`` — the same
+    interface as the host adapters — and runs natively on TPU. ``None`` means
+    the architecture has no native implementation here (caller falls back to
+    the host-callback path). Pass ``backbone_kwargs={'force_host': True}`` at
+    the call sites to skip native resolution entirely.
+    """
+    native_name = NATIVE_ENCODER_NAMES.get(normalize_encoder_name(model_name))
+    if native_name is None:
+        return None
+    from . import convnext, densenet, mobilenetv3, resnet
+    for lib in (resnet, densenet, convnext, mobilenetv3):
+        ctor = getattr(lib, native_name, None)
+        if ctor is not None:
+            bk = dict(backbone_kwargs or {})
+            bk.pop('trainable', None)  # native modules are always trainable
+            return ctor(in_channels, **bk)
+    raise AssertionError(f'native table names unknown ctor {native_name!r}')
 
 
 def build_host_encoder(adapter: str, model_name: str, in_channels: int = 3,

@@ -137,23 +137,34 @@ class MaNet(nn.Module):
                             name='decoder')(feats, size=inputs.shape[1:-1], train=train)
 
 
+def _adapter_manet(adapter: str, model_name: str, in_channels: int,
+                   pretrained: bool, backbone_kwargs: dict, **kwargs) -> MaNet:
+    from .host_encoder import (HostEncoder, build_host_encoder,
+                               resolve_native_encoder)
+    bk = dict(backbone_kwargs or {})
+    if not bk.pop('force_host', False):
+        native = resolve_native_encoder(model_name, in_channels, backbone_kwargs=bk)
+        if native is not None:
+            return MaNet(body=native, **kwargs)
+    enc, trainable = build_host_encoder(adapter, model_name, in_channels=in_channels,
+                                        pretrained=pretrained, backbone_kwargs=bk)
+    return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)
+
+
 def TimmMaNet(model_name: str, in_channels: int = 3, pretrained: bool = False,
               backbone_kwargs: dict = None, **kwargs) -> MaNet:
-    """MA-Net over a host-executed timm encoder (parity: ``cd.models.TimmMaNet``,
-    ``celldetection/models/manet.py``). ``backbone_kwargs['trainable']=True``
-    fine-tunes the encoder via host-side torch autograd."""
-    from .host_encoder import HostEncoder, build_host_encoder
-    enc, trainable = build_host_encoder('timm', model_name, in_channels=in_channels,
-                                        pretrained=pretrained,
-                                        backbone_kwargs=backbone_kwargs)
-    return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)
+    """MA-Net over a timm encoder (parity: ``cd.models.TimmMaNet``,
+    ``celldetection/models/manet.py``). Encoder names with a native flax
+    implementation (``host_encoder.NATIVE_ENCODER_NAMES``) run as TPU compute;
+    other names use the host-executed torch path, where
+    ``backbone_kwargs['trainable']=True`` fine-tunes via host torch autograd."""
+    return _adapter_manet('timm', model_name, in_channels, pretrained,
+                          backbone_kwargs, **kwargs)
 
 
 def SmpMaNet(model_name: str, in_channels: int = 3, pretrained: bool = False,
              backbone_kwargs: dict = None, **kwargs) -> MaNet:
-    """MA-Net over a host-executed smp encoder (parity: ``cd.models.SmpMaNet``)."""
-    from .host_encoder import HostEncoder, build_host_encoder
-    enc, trainable = build_host_encoder('smp', model_name, in_channels=in_channels,
-                                        pretrained=pretrained,
-                                        backbone_kwargs=backbone_kwargs)
-    return MaNet(body=HostEncoder(enc, trainable=trainable), **kwargs)
+    """MA-Net over an smp encoder (parity: ``cd.models.SmpMaNet``); same
+    native-first resolution as :func:`TimmMaNet`."""
+    return _adapter_manet('smp', model_name, in_channels, pretrained,
+                          backbone_kwargs, **kwargs)

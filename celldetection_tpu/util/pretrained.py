@@ -214,11 +214,16 @@ _NAME_TO_URL_KEY = {
 
 
 def _resnet_family_from_model_name(model_name: str):
-    """'CpnResNeXt101UNet' → 'ResNeXt101' (longest match wins)."""
+    """'CpnResNeXt101UNet' → 'ResNeXt101' (longest match wins).
+
+    Also resolves timm/smp encoder spellings ('resnet50',
+    'timm-resnext101_32x8d') for natively-resolved Timm/Smp zoo models.
+    """
     for key in sorted(_NAME_TO_URL_KEY, key=len, reverse=True):
         if key in model_name:
             return key
-    return None
+    from ..models.host_encoder import NATIVE_ENCODER_NAMES, normalize_encoder_name
+    return NATIVE_ENCODER_NAMES.get(normalize_encoder_name(model_name))
 
 
 def resolve_pretrained_state(spec, model_name: str = '') -> Dict[str, np.ndarray]:
@@ -264,8 +269,13 @@ def apply_pretrained_(model, spec) -> None:
     import jax.numpy as jnp
     from flax.traverse_util import flatten_dict, unflatten_dict
 
-    model_name = model.hparams.get('model', '') if hasattr(model, 'hparams') else ''
-    in_channels = model.hparams.get('in_channels', 3) if hasattr(model, 'hparams') else 3
+    hparams = getattr(model, 'hparams', {}) or {}
+    model_name = hparams.get('model', '')
+    if spec is True and _resnet_family_from_model_name(model_name) is None:
+        # Timm/Smp zoo models carry the encoder name separately
+        # (e.g. model='CpnTimmUNet', model_name='resnet50')
+        model_name = hparams.get('model_name', '') or model_name
+    in_channels = hparams.get('in_channels', 3)
     sd = resolve_pretrained_state(spec, model_name)
     if 'DenseNet' in model_name or any(k.startswith(('features.denseblock', 'denseblock'))
                                        for k in sd):

@@ -1,0 +1,105 @@
+"""End-to-end gigapixel-scale stitch timing (VERDICT r2 item 8).
+
+Runs TiledInference over a >=16k^2 synthetic blob mosaic on the real chip
+and reports tiles/s *including* stitch/compaction/final-NMS — the number the
+reference pipeline pays in `cpn_inference.py` tile loops.
+
+The mosaic is synthesized tile-by-tile (a 16k^2 float32 image is 1 GB host
+RAM; blobs repeat per block so detections flow through every stitch path).
+Spread heads (tests/test_bf16_parity.py trick) make random weights emit
+usable score/contour fields so the stitch carries real detections.
+
+Usage: python scripts/bench_gigapixel.py [--side 16384] [--model CpnU22]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_mosaic(side, block=1024, seed=0):
+    """Tiled blob mosaic without materializing per-pixel randomness twice."""
+    from celldetection_tpu import data
+    base, _ = data.random_geometric_objects(block, block, num=160,
+                                            radius=(8, 22), seed=seed)
+    base = base.astype(np.float32)
+    reps = side // block
+    mosaic = np.empty((side, side), np.float32)
+    for by in range(reps):
+        for bx in range(reps):
+            # small deterministic intensity jitter so tiles are not bit-equal
+            mosaic[by * block:(by + 1) * block, bx * block:(bx + 1) * block] = \
+                base * (0.9 + 0.01 * ((by * reps + bx) % 10))
+    return mosaic
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--side', type=int, default=16384)
+    ap.add_argument('--model', default='CpnU22')
+    ap.add_argument('--tile', type=int, default=1024)
+    ap.add_argument('--stride', type=int, default=768)
+    ap.add_argument('--batch', type=int, default=4)
+    ap.add_argument('--max-outputs', type=int, default=400000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from celldetection_tpu import models
+    from celldetection_tpu.parallel.tiles import TiledInference
+
+    cache_dir = os.path.expanduser('~/.cache/cdt_xla_cache')
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
+
+    print(f'building {args.side}^2 mosaic...', flush=True)
+    mosaic = build_mosaic(args.side, block=args.tile)
+
+    model = models.get_cpn(args.model)(in_channels=1, max_detections=2048,
+                                       samples=32, compute_dtype=jnp.bfloat16)
+    model.init(jax.random.PRNGKey(0), (args.batch, args.tile, args.tile, 1))
+    # spread heads: random weights emit near-constant fields otherwise
+    p = model.variables['params']
+    p['score_head']['conv1']['kernel'] = p['score_head']['conv1']['kernel'] * 300.0
+    p['fourier_head']['conv1']['kernel'] = p['fourier_head']['conv1']['kernel'] * 25.0
+
+    # calibrate a threshold that yields detections on one tile
+    dense = model.core.apply(model.variables, mosaic[None, :args.tile, :args.tile, None], False)
+    s = np.asarray(jax.nn.sigmoid(dense['scores'])).ravel()
+    thresh = float(np.quantile(s, 1.0 - 2000 / s.size))
+
+    tiled = TiledInference(model, tile_size=args.tile, stride=args.stride,
+                           batch_size=args.batch, max_outputs=args.max_outputs)
+    print('warmup (compile)...', flush=True)
+    warm = tiled(mosaic[:args.tile * 2, :args.tile * 2], score_thresh=thresh)
+    print(f'warmup detections: {len(warm["boxes"])}', flush=True)
+
+    t0 = time.perf_counter()
+    result = tiled(mosaic, score_thresh=thresh)
+    dt = time.perf_counter() - t0
+    n_tiles = result['num_tiles']
+    rec = {
+        'metric': f'{args.model} {args.side}^2 mosaic end-to-end '
+                  f'(tile {args.tile}, stride {args.stride}, batch {args.batch}, '
+                  f'bf16, incl. stitch+final NMS)',
+        'value': round(n_tiles / dt, 3),
+        'unit': 'tiles/s',
+        'seconds': round(dt, 2),
+        'num_tiles': int(n_tiles),
+        'detections': int(len(result['boxes'])),
+        'overflow': bool(result.get('overflow', False)),
+    }
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -38,12 +38,15 @@ IOU_THRESHS = (.5, .6, .7, .8, .9)
 ORDER, SAMPLES = 5, 32  # CpnU22 defaults, both frameworks
 
 
-def synthetic_split(n, seed, size=256):
+def synthetic_split(n, seed, size=128, num=10):
+    # 128^2 keeps the torch-reference CPU training tractable on this host
+    # (a 256^2 fwd+bwd step measured ~90 s on the single core); object
+    # density matches the 256^2/24-object workload of eval_bbbc039.py.
     from celldetection_tpu import data
     out = []
     for i in range(n):
-        img, labels = data.random_geometric_objects(size, size, num=24,
-                                                    radius=(7, 16), seed=seed + i)
+        img, labels = data.random_geometric_objects(size, size, num=num,
+                                                    radius=(6, 13), seed=seed + i)
         out.append((img.astype(np.float32)[..., None], labels))
     return out
 
@@ -120,8 +123,8 @@ def stage_ref(args):
     import celldetection as cd
     import torch
 
-    train_data = synthetic_split(args.n_train, seed=0)
-    val_data = synthetic_split(args.n_val, seed=1000)
+    train_data = synthetic_split(args.n_train, seed=0, size=args.size)
+    val_data = synthetic_split(args.n_val, seed=1000, size=args.size)
     model = build_ref_model(cd, torch)
     opt = torch.optim.Adam(model.parameters(), lr=args.lr)
     rng = np.random.RandomState(1)
@@ -167,16 +170,16 @@ def stage_tpu(args):
     from celldetection_tpu.runtime.trainer import CPNTrainer
     import optax
 
-    train_data = synthetic_split(args.n_train, seed=0)
-    val_data = synthetic_split(args.n_val, seed=1000)
+    train_data = synthetic_split(args.n_train, seed=0, size=args.size)
+    val_data = synthetic_split(args.n_val, seed=1000, size=args.size)
     model = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES,
                           max_detections=512)
-    model.init(input_shape=(1, 256, 256, 1))
+    model.init(input_shape=(1, args.size, args.size, 1))
     trainer = CPNTrainer(model, optimizer=optax.adam(args.lr),
                          val_hparams={'score_thresh': list(SCORE_SWEEP)})
     t0 = time.time()
     trainer.fit(train_data, epochs=args.epochs, batch_size=args.batch_size,
-                crop_size=256)
+                crop_size=args.size)
     train_seconds = round(time.time() - t0, 1)
     metrics = trainer.validate(val_data, iou_threshs=IOU_THRESHS)
     out = {f'f1_np_{t}': metrics[f'f1_np_{t}'] for t in IOU_THRESHS}
@@ -206,7 +209,7 @@ def stage_transport(args):
     import torch
     from celldetection_tpu import models, util
 
-    val_data = synthetic_split(args.n_val, seed=1000)
+    val_data = synthetic_split(args.n_val, seed=1000, size=args.size)
     report = {}
 
     # --- direction 1: reference-trained -> our model
@@ -215,7 +218,7 @@ def stage_transport(args):
                                          weights_only=True))
     ref_results = json.load(open(os.path.join(args.out_dir, 'ref_results.json')))
     our = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES, max_detections=512)
-    our.init(input_shape=(1, 256, 256, 1))
+    our.init(input_shape=(1, args.size, args.size, 1))
     sd = {k[len('core.'):]: v.numpy() for k, v in ref_model.state_dict().items()
           if k != 'order_weights'}
     flat = util.translate_cpn_state_dict(sd)
@@ -238,7 +241,7 @@ def stage_transport(args):
     ours_trained = util.load_model(os.path.join(args.out_dir, 'tpu_trained.cdt'))
     tpu_results = json.load(open(os.path.join(args.out_dir, 'tpu_results.json')))
     ref2 = build_ref_model(cd, torch)
-    exported = util.export_torch_state_dict(ours_trained.variables)
+    exported = util.export_torch_state_dict(ours_trained.variables, encoder='unet')
     ref2.core.load_state_dict({k: torch.from_numpy(np.asarray(v))
                                for k, v in exported.items()})
     exp = evaluate_sweep(ref_predict_fn(cd, torch, ref2), val_data)
@@ -285,11 +288,12 @@ def main():
     ap.add_argument('--stage', choices=['ref', 'tpu', 'transport', 'report'],
                     required=True)
     ap.add_argument('--out-dir', default='/tmp/h2h')
-    ap.add_argument('--epochs', type=int, default=80)
+    ap.add_argument('--epochs', type=int, default=60)
     ap.add_argument('--batch-size', type=int, default=4)
     ap.add_argument('--lr', type=float, default=8e-4)
-    ap.add_argument('--n-train', type=int, default=24)
+    ap.add_argument('--n-train', type=int, default=16)
     ap.add_argument('--n-val', type=int, default=8)
+    ap.add_argument('--size', type=int, default=128)
     args = ap.parse_args()
     {'ref': stage_ref, 'tpu': stage_tpu,
      'transport': stage_transport, 'report': stage_report}[args.stage](args)
