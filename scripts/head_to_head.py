@@ -33,6 +33,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, 'tests'))
 
+
+def _enable_jax_compile_cache():
+    # The remote-compile relay takes minutes per graph; the persistent cache
+    # makes the bf16/transport stages reuse the tpu stage's compilations.
+    import jax
+    cache_dir = os.path.expanduser(os.environ.get('BENCH_CACHE', '~/.cache/cdt_xla_cache'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
+
 SCORE_SWEEP = (.5, .86, .88, .9, .92)  # parity: lightning_cpn.py:36-39
 IOU_THRESHS = (.5, .6, .7, .8, .9)
 ORDER, SAMPLES = 5, 32  # CpnU22 defaults, both frameworks
@@ -166,6 +179,7 @@ def stage_ref(args):
 # ----------------------------------------------------------------- rebuild side
 
 def stage_tpu(args):
+    _enable_jax_compile_cache()
     from celldetection_tpu import models, util
     from celldetection_tpu.runtime.trainer import CPNTrainer
     import optax
@@ -201,6 +215,7 @@ def stage_tpu(args):
 def stage_transport(args):
     """Both transport directions with *trained* weights (BN running stats,
     calibrated thresholds) — VERDICT r2 item 2."""
+    _enable_jax_compile_cache()
     import refshim
     refshim.install()
     if '/root/reference' not in sys.path:
@@ -242,8 +257,9 @@ def stage_transport(args):
     tpu_results = json.load(open(os.path.join(args.out_dir, 'tpu_results.json')))
     ref2 = build_ref_model(cd, torch)
     exported = util.export_torch_state_dict(ours_trained.variables, encoder='unet')
-    ref2.core.load_state_dict({k: torch.from_numpy(np.asarray(v))
-                               for k, v in exported.items()})
+    # exported keys carry the CPN-level 'core.' prefix; load into the core
+    ref2.core.load_state_dict({k[len('core.'):]: torch.from_numpy(np.asarray(v))
+                               for k, v in exported.items() if k.startswith('core.')})
     exp = evaluate_sweep(ref_predict_fn(cd, torch, ref2), val_data)
     report['tpu_to_ref'] = {
         'f1_np': exp['f1_np'], 'per_iou': exp['per_iou'],
@@ -255,6 +271,36 @@ def stage_transport(args):
     with open(os.path.join(args.out_dir, 'transport_results.json'), 'w') as f:
         json.dump(report, f, indent=1)
     print(json.dumps({'stage': 'transport', **report}), flush=True)
+
+
+def stage_bf16(args):
+    """fp32 vs bf16 compute with *trained* weights, gated on the f1 curve
+    (VERDICT r2 item 7: an accuracy-delta gate, not a box-match gate)."""
+    _enable_jax_compile_cache()
+    import jax.numpy as jnp
+    from celldetection_tpu import models, util
+
+    val_data = synthetic_split(args.n_val, seed=1000, size=args.size)
+    trained = util.load_model(os.path.join(args.out_dir, 'tpu_trained.cdt'))
+    report = {}
+    for name, dtype in (('float32', None), ('bfloat16', jnp.bfloat16)):
+        model = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES,
+                              max_detections=512, compute_dtype=dtype)
+        model.variables = trained.variables
+
+        def predict(image, score_thresh, _m=model):
+            out = _m(image, score_thresh=score_thresh)
+            return [np.asarray(c) for c in out['contours'][0]]
+
+        report[name] = evaluate_sweep(predict, val_data)
+    deltas = {k: round(report['bfloat16']['per_iou'][k] - report['float32']['per_iou'][k], 4)
+              for k in report['float32']['per_iou']}
+    report['per_iou_delta'] = deltas
+    report['max_abs_delta'] = max(abs(v) for v in deltas.values())
+    with open(os.path.join(args.out_dir, 'bf16_results.json'), 'w') as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({'stage': 'bf16', 'per_iou_delta': deltas,
+                      'max_abs_delta': report['max_abs_delta']}), flush=True)
 
 
 def stage_report(args):
@@ -280,12 +326,17 @@ def stage_report(args):
         record['transport'] = {k: {'delta_f1_np': v['delta_f1_np'],
                                    'per_iou_delta': v['per_iou_delta']}
                                for k, v in transport.items()}
+    bf_path = os.path.join(args.out_dir, 'bf16_results.json')
+    if os.path.isfile(bf_path):
+        bf = json.load(open(bf_path))
+        record['bf16_vs_fp32'] = {'per_iou_delta': bf['per_iou_delta'],
+                                  'max_abs_delta': bf['max_abs_delta']}
     print(json.dumps(record), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--stage', choices=['ref', 'tpu', 'transport', 'report'],
+    ap.add_argument('--stage', choices=['ref', 'tpu', 'transport', 'bf16', 'report'],
                     required=True)
     ap.add_argument('--out-dir', default='/tmp/h2h')
     ap.add_argument('--epochs', type=int, default=60)
@@ -295,8 +346,8 @@ def main():
     ap.add_argument('--n-val', type=int, default=8)
     ap.add_argument('--size', type=int, default=128)
     args = ap.parse_args()
-    {'ref': stage_ref, 'tpu': stage_tpu,
-     'transport': stage_transport, 'report': stage_report}[args.stage](args)
+    {'ref': stage_ref, 'tpu': stage_tpu, 'transport': stage_transport,
+     'bf16': stage_bf16, 'report': stage_report}[args.stage](args)
 
 
 if __name__ == '__main__':

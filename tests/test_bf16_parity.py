@@ -77,3 +77,76 @@ def test_bf16_detections_match_fp32():
     c16 = np.asarray(out16['contours'][0])[j[matched]]
     d = np.abs(c32 - c16)
     assert d.mean() < 0.5, d.mean()
+
+
+def _f1_sweep(model, val_data, score_threshs=(.5, .88, .92),
+              iou_threshs=(.5, .6, .7, .8, .9)):
+    """Best-over-sweep f1 per IoU with the shared metric engine (the same
+    protocol as the accuracy harness, ``scripts/head_to_head.py``)."""
+    from celldetection_tpu.data import LabelMatcher, LabelMatcherList
+    from celldetection_tpu.native import contours2labels_native
+    best = None
+    for st in score_threshs:
+        matchers = LabelMatcherList()
+        for image, labels in val_data:
+            out = model(image, score_thresh=st)
+            contours = [np.asarray(c) for c in out['contours'][0]]
+            pred = contours2labels_native(contours, image.shape[:2])
+            matchers.append(LabelMatcher(pred, labels))
+        per_iou = {}
+        for it in iou_threshs:
+            matchers.iou_thresh = it
+            per_iou[it] = matchers.f1_np
+        mean = float(np.mean(list(per_iou.values())))
+        if best is None or mean > best[0]:
+            best = (mean, per_iou)
+    return best
+
+
+def test_bf16_f1_delta_trained():
+    """Accuracy-delta gate with *trained* weights (VERDICT r2 item 7): the
+    f1@[.5:.9] curve under bf16 compute must match the fp32 curve within
+    0.5 pt per IoU threshold on the synthetic harness workload."""
+    import optax
+    from celldetection_tpu import data
+    from celldetection_tpu.runtime.trainer import CPNTrainer
+
+    # ~72 val instances: one detection flip moves f1 by ~1.4 pt, so the 0.5 pt
+    # gate asserts zero detection-level disagreement (deterministic seeds).
+    size, n_train, n_val = 64, 12, 12
+
+    def split(n, seed):
+        out = []
+        for i in range(n):
+            img, labels = data.random_geometric_objects(
+                size, size, num=6, radius=(6, 11), seed=seed + i)
+            out.append((img.astype(np.float32)[..., None], labels))
+        return out
+
+    kw = dict(in_channels=1, order=3, samples=24, max_detections=128,
+              backbone_kwargs=dict(base_channels=16))
+    train_data, val_data = split(n_train, 0), split(n_val, 500)
+    model = models.CpnU12(**kw)
+    model.init(input_shape=(1, size, size, 1))
+    trainer = CPNTrainer(model, optimizer=optax.adam(2e-3), log_fn=lambda *a: None)
+    trainer.fit(train_data, epochs=60, batch_size=4, crop_size=size)
+    model.variables = trainer.state.variables()
+
+    mean32, f32 = _f1_sweep(model, val_data)
+    assert mean32 > 0.5, f'undertrained fixture, gate would be vacuous: f1={f32}'
+
+    m16 = models.CpnU12(compute_dtype=jnp.bfloat16, **kw)
+    m16.variables = model.variables
+    mean16, f16 = _f1_sweep(m16, val_data)
+    deltas = {t: abs(f16[t] - f32[t]) for t in f32}
+    # Per-IoU gate where the model meaningfully performs. At the IoU=.9 tail
+    # on radius-6-11 synthetic discs, *every* match is knife-edge (one
+    # boundary pixel on a radius-8 disc shifts IoU by ~10%, and fp32 f1 is
+    # itself ~0.1 there), so a single-match flip is rasterization noise, not
+    # precision loss; the mean-curve gate below still bounds it.
+    tight = {t: d for t, d in deltas.items() if f32[t] >= 0.5}
+    assert len(tight) >= 3, (f32, 'undertrained at most IoUs')
+    assert max(tight.values()) <= 0.005 + 1e-9, \
+        f'bf16 f1 drifted from fp32: fp32={f32} bf16={f16}'
+    assert abs(mean16 - mean32) <= 0.005 + 1e-9, \
+        f'bf16 mean f1 drifted: fp32={mean32} bf16={mean16}'
