@@ -478,7 +478,7 @@ class CPN:
                  order_weights: bool = True, refinement_head_channels: int = None,
                  refinement_head_stride: int = 1, refinement_interpolation: str = 'bilinear',
                  max_detections: int = 2048, dtype=jnp.float32,
-                 compute_dtype=None, **kwargs):
+                 compute_dtype=None, torch_init: bool = True, **kwargs):
         self.order = order
         self.nms_thresh = nms_thresh
         self.score_thresh = score_thresh
@@ -494,6 +494,8 @@ class CPN:
         self.uncertainty_head = uncertainty_head
         self.max_detections = max_detections
         self.dtype = dtype
+        # reference-matching init distributions (see init())
+        self.torch_init = torch_init
         # Backbone/head compute dtype (e.g. jnp.bfloat16 for MXU-rate
         # inference). Params stay fp32; the decode chain always runs fp32.
         self.compute_dtype = compute_dtype
@@ -537,11 +539,23 @@ class CPN:
     # -- initialization ------------------------------------------------------
 
     def init(self, rng=None, input_shape=(1, 256, 256, 3)):
-        """Initialize parameters for a given NHWC input shape."""
+        """Initialize parameters for a given NHWC input shape.
+
+        By default parameters are re-drawn to match the torch reference's
+        init distributions (``torch_init=False`` keeps flax defaults) — the
+        round-3 trained-accuracy gap traced to init statistics, not to the
+        loss/gradients/targets (scripts/diag_train_loss.py: loss components
+        match to <0.1% and 25 lockstep Adam steps track).
+        """
         if rng is None:
             rng = jax.random.PRNGKey(0)
         x = jnp.zeros(input_shape, self.dtype)
         self.variables = self.core.init({'params': rng}, x, False)
+        if getattr(self, 'torch_init', True):
+            from ..util.init import detect_encoder_family, torch_init_variables
+            family = detect_encoder_family(self.core.backbone)
+            self.variables = torch_init_variables(
+                self.variables, jax.random.fold_in(rng, 0x70C4), family)
         if getattr(self, 'pretrained', False):
             from ..util.pretrained import apply_pretrained_
             apply_pretrained_(self, self.pretrained)

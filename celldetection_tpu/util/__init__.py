@@ -11,6 +11,7 @@ from .system import *
 from .shm_cache import ShmCache
 from .rois import save_rois, contour2roi_bytes, load_imagej_rois, roi_bytes2contour
 from .misc import *
+from .init import torch_init_variables, detect_encoder_family
 from .pretrained import (DEFAULT_MODEL_URLS, resolve_pretrained,
                          resolve_pretrained_state, apply_pretrained_)
 from . import (config, tiling, timer, io, serialization, torch_import, logging,

@@ -18,8 +18,8 @@ from flax import linen as nn
 
 from celldetection_tpu.models import resnet as resnet_lib
 
-BATCH = 4
-DTYPE = jnp.bfloat16
+BATCH = int(os.environ.get("PROF_BATCH", "4"))
+DTYPE = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[os.environ.get("PROF_DTYPE", "bfloat16")]
 
 
 def timed(name, apply_fn, v, x, iters=10, flops=None):

@@ -159,7 +159,7 @@ def main():
                   f'ours={float(metrics["loss"]):9.4f}')
 
     print('=== stage C: target generator comparison (same labels, stats) ===')
-    from celldetection_tpu.data.cpn import cpn_targets_single
+    from celldetection_tpu.data.targets import cpn_targets_single
     rng = np.random.RandomState(7)
     for i, (img, labels) in enumerate(data[:2]):
         np.random.seed(123 + i)

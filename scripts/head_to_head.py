@@ -167,6 +167,7 @@ def stage_ref(args):
     metrics = evaluate_sweep(ref_predict_fn(cd, torch, model), val_data)
     metrics['train_seconds'] = round(time.time() - t0, 1)
     metrics['steps'] = step
+    metrics['epochs'] = args.epochs
     os.makedirs(args.out_dir, exist_ok=True)
     torch.save(model.state_dict(), os.path.join(args.out_dir, 'ref_trained.pt'))
     with open(os.path.join(args.out_dir, 'ref_results.json'), 'w') as f:
@@ -201,6 +202,8 @@ def stage_tpu(args):
     out['per_iou'] = {str(t): round(metrics[f'f1_np_{t}'], 4) for t in IOU_THRESHS}
     out['best_score_thresh'] = metrics['best_hparams'].get('score_thresh')
     out['train_seconds'] = train_seconds
+    out['steps'] = int(trainer.state.step)  # auditability vs ref_results['steps']
+    out['epochs'] = args.epochs
     os.makedirs(args.out_dir, exist_ok=True)
     util.save_model(os.path.join(args.out_dir, 'tpu_trained.cdt'), model)
     with open(os.path.join(args.out_dir, 'tpu_results.json'), 'w') as f:

@@ -25,8 +25,10 @@ import numpy as np
 
 from celldetection_tpu import models
 
-BATCH, TILE = 4, 1024
-ITERS = 10
+BATCH = int(os.environ.get('PROF_BATCH', '4'))
+TILE = int(os.environ.get('PROF_TILE', '1024'))
+ITERS = int(os.environ.get('PROF_ITERS', '10'))
+DTYPE = os.environ.get('PROF_DTYPE', 'bfloat16')
 
 
 def _sync(out):
@@ -49,8 +51,17 @@ def timed(name, fn, *args):
 
 
 def main():
+    cache_dir = os.environ.get('BENCH_CACHE', os.path.expanduser('~/.cache/cdt_xla_cache'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
+    compute_dtype = jnp.bfloat16 if DTYPE == 'bfloat16' else None
+    print(f'config: batch={BATCH} tile={TILE} dtype={DTYPE}', flush=True)
     model = models.CpnResNeXt101UNet(in_channels=3, max_detections=2048, samples=32,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=compute_dtype)
     model.init(jax.random.PRNGKey(0), (BATCH, TILE, TILE, 3))
     v = model.variables
     x = jnp.asarray(np.random.RandomState(0).rand(BATCH, TILE, TILE, 3), jnp.float32)

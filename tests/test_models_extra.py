@@ -273,16 +273,35 @@ def test_host_encoder_trainable_gradients():
 
 
 def test_timm_smp_cpns_gated():
+    """Unknown encoder names require the host adapter (timm/smp) and fail
+    cleanly whether or not those optional packages are installed; known names
+    resolve to native TPU backbones and construct without torch-side deps."""
     import pytest as _pytest
     from celldetection_tpu import models as _m
+    # ImportError without timm/smp; their own lookup error (RuntimeError /
+    # ValueError / KeyError) when present — gated either way.
+    adapter_errors = (ImportError, RuntimeError, ValueError, KeyError)
     for name in ('CpnTimmUNet', 'CpnSmpUNet', 'CpnTimmMaNet', 'CpnSmpMaNet'):
         assert name in _m.models_by_name
-        with _pytest.raises(ImportError):
-            _m.get_cpn(name)(3, model_name='resnet18')
-    # fixed-encoder spelling: no model_name arg (parity with the reference class)
+        with _pytest.raises(adapter_errors):
+            _m.get_cpn(name)(3, model_name='nosuch_net_xyz')
+    # known names resolve to the native backbone table (round-3 behavior):
+    # construction succeeds with no torch-side packages involved
+    m = _m.get_cpn('CpnTimmUNet')(3, model_name='resnet18')
+    assert m.core is not None
+    # fixed-encoder spelling (CpnMiTB5MaNet pins smp's mit_b5): resolves
+    # natively when a native MiT implementation exists, otherwise it needs the
+    # smp host adapter and must fail cleanly without it
     assert 'CpnMiTB5MaNet' in _m.models_by_name
-    with _pytest.raises(ImportError):
-        _m.get_cpn('CpnMiTB5MaNet')(3)
+    from celldetection_tpu.models.host_encoder import resolve_native_encoder
+    if resolve_native_encoder('mit_b5', 3) is not None:
+        assert _m.get_cpn('CpnMiTB5MaNet')(3).core is not None
+    else:
+        try:
+            import segmentation_models_pytorch  # noqa: F401
+        except ImportError:
+            with _pytest.raises(ImportError):
+                _m.get_cpn('CpnMiTB5MaNet')(3)
 
 
 def test_replay_cache():
