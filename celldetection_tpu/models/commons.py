@@ -26,7 +26,7 @@ __all__ = [
     'get_activation', 'Norm', 'ConvNorm', 'ConvNormRelu', 'TwoConvNormRelu', 'TwoConvNormLeaky',
     'ScaledTanh', 'ScaledSigmoid', 'ResBlock', 'BottleneckBlock', 'ReadOut', 'Fuse', 'Normalize',
     'SqueezeExcitation', 'SelfAttention', 'LayerNorm2d', 'DynamicTanh', 'kaiming_uniform',
-    'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride', 'ReplayCache',
+    'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride', 'ReplayCache', 'GroupedConv',
 ]
 
 # torch nn.BatchNorm2d defaults: momentum=0.1 (flax momentum = 1 - 0.1), eps=1e-5
@@ -108,6 +108,56 @@ class Norm(nn.Module):
         if kind.startswith('instancenorm'):
             return nn.GroupNorm(num_groups=x.shape[-1], name='norm')(x)
         raise ValueError(f'Unknown norm: {self.kind}')
+
+
+class GroupedConv(nn.Module):
+    """Grouped conv with a measured TPU lowering choice (bias-free, same param
+    layout as ``nn.Conv(feature_group_count=groups)``: ``kernel`` of shape
+    ``(*k, in/groups, features)`` — checkpoints are interchangeable).
+
+    XLA:TPU's native grouped conv collapses at small group widths on large
+    spatial maps (ResNeXt stage1, 8-ch groups at 256^2: 17.1 ms vs 2.4 ms at
+    batch 1 fp32 — measured on v5e). An exactly-equivalent dense conv with
+    the grouped kernel scattered onto a block-diagonal (zeros elsewhere) is
+    4.6-7x faster for group width <= 16 at every measured batch/precision,
+    and 1.2x faster for width 32 at batch 1; native wins at width >= 32 for
+    batch >= 4 and at width >= 64 everywhere. The choice is static per traced
+    shape, so each jitted program gets its best lowering.
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+    groups: int
+    strides: Optional[Tuple[int, ...]] = None
+    padding: Any = 0
+
+    @nn.compact
+    def __call__(self, x):
+        k = tuple(self.kernel_size)
+        cg_in = x.shape[-1] // self.groups
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            k + (cg_in, self.features), jnp.float32)
+        kernel = kernel.astype(x.dtype)
+        strides = self.strides or (1,) * len(k)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * len(k)
+        cg_out = self.features // self.groups
+        dense = self.groups > 1 and (cg_in <= 16 or (cg_in <= 32 and x.shape[0] == 1))
+        if dense:
+            w = jnp.zeros(k + (x.shape[-1], self.features), kernel.dtype)
+            for g in range(self.groups):
+                w = w.at[..., g * cg_in:(g + 1) * cg_in,
+                         g * cg_out:(g + 1) * cg_out].set(
+                             kernel[..., g * cg_out:(g + 1) * cg_out])
+            groups = 1
+        else:
+            w, groups = kernel, self.groups
+        spatial = 'DHW'[-len(k):]  # 'HW' (2D) / 'DHW' (3D)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, (f'N{spatial}C', f'{spatial}IO', f'N{spatial}C'))
+        return jax.lax.conv_general_dilated(x, w, strides, pad,
+                                            dimension_numbers=dn,
+                                            feature_group_count=groups)
 
 
 class ConvNorm(nn.Module):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .commons import Norm
+from .commons import GroupedConv, Norm
 
 __all__ = [
     'BasicBlock', 'Bottleneck', 'ResNetEncoder', 'ResNet18', 'ResNet34', 'ResNet50',
@@ -77,8 +77,16 @@ class Bottleneck(nn.Module):
         out = nn.Conv(width, (1,) * nd, use_bias=False, name='conv1')(x)
         out = Norm(self.norm_layer, name='bn1')(out, train)
         out = jax.nn.relu(out)
-        out = nn.Conv(width, (ks,) * nd, strides=(self.stride,) * nd, padding=(ks - 1) // 2,
-                      feature_group_count=self.groups, use_bias=False, name='conv2')(out)
+        if self.groups > 1:
+            # TPU-aware grouped lowering (same param layout as nn.Conv; see
+            # GroupedConv — native XLA grouped conv is up to 7x slower at
+            # ResNeXt's small group widths)
+            out = GroupedConv(width, (ks,) * nd, self.groups,
+                              strides=(self.stride,) * nd, padding=(ks - 1) // 2,
+                              name='conv2')(out)
+        else:
+            out = nn.Conv(width, (ks,) * nd, strides=(self.stride,) * nd,
+                          padding=(ks - 1) // 2, use_bias=False, name='conv2')(out)
         out = Norm(self.norm_layer, name='bn2')(out, train)
         out = jax.nn.relu(out)
         out = nn.Conv(out_c, (1,) * nd, use_bias=False, name='conv3')(out)

@@ -29,8 +29,8 @@ import numpy as np
 from ..ops.boxes import nms_chunked, nms_padded
 from ..util.tiling import get_tiling_slices
 
-__all__ = ['TiledInference', 'tile_image', 'stitch_detections', 'tta_inference',
-           'multihost_tiled_inference']
+__all__ = ['TiledInference', 'tile_image', 'stitch_detections', 'stitch_flat',
+           'tta_inference', 'multihost_tiled_inference']
 
 
 def tile_image(image: np.ndarray, tile_size: int, stride: int):
@@ -119,6 +119,17 @@ def stitch_detections(det: dict, nms_thresh: float,
     for key in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier', 'valid'):
         v = det.get(key)
         flat[key] = None if v is None else v.reshape((n,) + v.shape[2:])
+    return stitch_flat(flat, nms_thresh, nms_tile=nms_tile,
+                       max_candidates=max_candidates, nms_chunk=nms_chunk)
+
+
+def stitch_flat(flat: dict, nms_thresh: float, nms_tile: int = 256,
+                max_candidates: Optional[int] = None, nms_chunk: int = 16384) -> dict:
+    """Cross-tile NMS on an already-flattened ``[N]`` candidate dict (the
+    shape-generic core of :func:`stitch_detections`; used directly when
+    capacity-retried tiles contribute rows of a different per-tile width)."""
+    flat = dict(flat)
+    n = flat['valid'].shape[0]
     flat['num_pre_valid'] = flat['valid'].sum()
     if max_candidates is not None and n > max_candidates:
         order = jnp.argsort(jnp.where(flat['valid'], flat['scores'], -jnp.inf),
@@ -300,7 +311,8 @@ def multihost_tiled_inference(tiled: 'TiledInference', image: np.ndarray,
     # Mirror TiledInference.__call__: both output-cap and pre-NMS candidate-cap
     # truncation count as overflow.
     local_ovf = np.asarray([int(np.asarray(local['num_valid']) > tiled.max_outputs
-                                or np.asarray(flat['num_pre_valid']) > tiled.max_candidates)],
+                                or np.asarray(flat['num_pre_valid']) > tiled.max_candidates
+                                or bool(np.asarray(det['fg_overflow']).any()))],
                            np.int32)
     out['overflow'] = bool(np.asarray(
         multihost_utils.process_allgather(local_ovf)).max())
@@ -326,7 +338,8 @@ class TiledInference:
                  batch_size: Optional[int] = None, border_removal: int = 4,
                  stitching_rule: str = 'nms', mesh=None, nms_tile: int = 256,
                  max_outputs: int = 100_000, max_candidates: Optional[int] = None,
-                 nms_chunk: int = 16384):
+                 nms_chunk: int = 16384, retry_overflow: bool = True,
+                 max_capacity_factor: int = 8):
         self.model = model
         self.tile_size = tile_size
         self.stride = stride
@@ -343,13 +356,36 @@ class TiledInference:
         # millions of padded slots of which only the valid few matter.
         self.max_candidates = max_candidates or 4 * max_outputs
         self.nms_chunk = nms_chunk
+        # overflow retry: saturated tiles re-run at 2x/4x/... capacity and
+        # saturated stitch caps double, so dense mosaics keep full recall
+        # instead of reporting a flag (the torch reference cannot overflow —
+        # dynamic shapes; VERDICT r3 item 5)
+        self.retry_overflow = retry_overflow
+        self.max_capacity_factor = max_capacity_factor
         self._fn = None
+        self._fns = {}
         self._stitch_fn = None
 
-    def _build(self, use_bounds: bool = False):
-        model, ts = self.model, self.tile_size
+    def _capacity_model(self, capacity_factor: int):
+        """Model view with ``capacity_factor * max_detections`` slots (used by
+        the overflow retry; shares variables with the base model)."""
+        if capacity_factor == 1:
+            return self.model
+        import copy
+        model = copy.copy(self.model)
+        model.max_detections = self.model.max_detections * capacity_factor
+        model._jit_cache = {}
+        return model
+
+    def _tile_fn(self, use_bounds: bool, capacity_factor: int = 1):
+        key = (use_bounds, capacity_factor)
+        if key in self._fns:
+            return self._fns[key]
+        model = self._capacity_model(capacity_factor)
+        ts = self.tile_size
         pad = self.border_removal
         use_ex_br = 'ex_br' in self.stitching_rule.split(',')
+        capacity = model.max_detections
 
         def tile_forward(variables, tiles, offsets, borders, overlaps, score_thresh,
                          lower=None, upper=None):
@@ -365,8 +401,11 @@ class TiledInference:
             wh = out['boxes'][..., 2:] - out['boxes'][..., :2]
             valid = valid & (wh >= 1.).all(-1)
             out['valid'] = valid
-            return {k: out[k] for k in ('contours', 'boxes', 'scores', 'classes',
-                                        'locations', 'fourier', 'valid')}
+            res = {k: out[k] for k in ('contours', 'boxes', 'scores', 'classes',
+                                       'locations', 'fourier', 'valid')}
+            # per-tile capacity saturation — drives the overflow retry
+            res['fg_overflow'] = out['fg_count'] > capacity
+            return res
 
         n_extra = 2 if use_bounds else 0
         if not use_bounds:
@@ -383,13 +422,21 @@ class TiledInference:
                          out_shardings=repl)
         else:
             fn = jax.jit(wrapped)
+        self._fns[key] = fn
+        return fn
+
+    def _build(self, use_bounds: bool = False):
+        # kept for back-compat with callers that warm the default program
+        fn = self._tile_fn(use_bounds)
         if use_bounds:
             self._fn_bounds = fn
         else:
             self._fn = fn
 
     def _run_batches(self, model, tiles, offsets, borders, overlaps, st, bs,
-                     upper_tiles, lower_tiles, use_bounds):
+                     upper_tiles, lower_tiles, use_bounds, capacity_factor: int = 1):
+        fn = self._tile_fn(use_bounds, capacity_factor)
+        model = self._capacity_model(capacity_factor) if capacity_factor != 1 else model
         t = tiles.shape[0]
         chunks = []
         for i in range(math.ceil(t / bs)):
@@ -411,11 +458,11 @@ class TiledInference:
             if use_bounds:
                 ub_j = jnp.asarray(ub) if ub is not None else jnp.ones(tb.shape[:3] + (1,))
                 lb_j = jnp.asarray(lb) if lb is not None else jnp.zeros(tb.shape[:3] + (1,))
-                out = self._fn_bounds(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
-                                      jnp.asarray(vb), st, lb_j, ub_j)
+                out = fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                         jnp.asarray(vb), st, lb_j, ub_j)
             else:
-                out = self._fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
-                               jnp.asarray(vb), st)
+                out = fn(model.variables, tb, jnp.asarray(ob), jnp.asarray(bb),
+                         jnp.asarray(vb), st)
             if n < bs:
                 out = {k: (None if v is None else v[:n]) for k, v in out.items()}
             chunks.append(out)
@@ -514,19 +561,86 @@ class TiledInference:
 
         det = {k: (jnp.concatenate([c[k] for c in chunks]) if chunks[0][k] is not None
                    else None) for k in chunks[0]}
-        if self._stitch_fn is None:
-            nms_thresh, nms_tile, max_out = model.nms_thresh, self.nms_tile, self.max_outputs
-            max_cand, chunk = self.max_candidates, self.nms_chunk
 
-            def _stitch(d):
-                flat = stitch_detections(d, nms_thresh, nms_tile=nms_tile,
-                                         max_candidates=max_cand, nms_chunk=chunk)
-                out = compact_detections(flat, max_out)
-                out['num_pre_valid'] = flat['num_pre_valid']
-                return out
+        # ---- per-tile capacity retry: saturated tiles re-run at 2x, 4x, ... ----
+        retried = {}
+        fg_ovf = np.asarray(det['fg_overflow'])
+        if self.retry_overflow and fg_ovf.any():
+            active = np.where(fg_ovf)[0]
+            factor = 2
+            while len(active) and factor <= self.max_capacity_factor:
+                chunks_hi = self._run_batches(
+                    model, tiles[active], offsets[active], borders[active],
+                    overlaps[active], st, self.batch_size,
+                    None if upper_tiles is None else upper_tiles[active],
+                    None if lower_tiles is None else lower_tiles[active],
+                    use_bounds, capacity_factor=factor)
+                hi = {k: (jnp.concatenate([c[k] for c in chunks_hi])
+                          if chunks_hi[0][k] is not None else None)
+                      for k in chunks_hi[0]}
+                for j, tile_idx in enumerate(active):
+                    retried[int(tile_idx)] = {k: (None if v is None else v[j])
+                                              for k, v in hi.items()
+                                              if k != 'fg_overflow'}
+                active = active[np.asarray(hi['fg_overflow'])]
+                factor *= 2
+            residual_fg_overflow = bool(len(active))
+        else:
+            residual_fg_overflow = bool(fg_ovf.any())
 
-            self._stitch_fn = jax.jit(_stitch)
-        compact = jax.device_get(self._stitch_fn(det))
+        # ---- cross-tile stitch, with cap doubling on saturation ----
+        nms_thresh, nms_tile, chunk = model.nms_thresh, self.nms_tile, self.nms_chunk
+
+        def flat_candidates():
+            """Flatten per-tile rows, swapping retried tiles' wider rows in."""
+            keep = np.ones(t, bool)
+            keep[list(retried)] = False
+            out = {}
+            for key in ('contours', 'boxes', 'scores', 'classes', 'locations',
+                        'fourier', 'valid'):
+                base = det[key]
+                if base is None:
+                    out[key] = None
+                    continue
+                parts = [base[keep].reshape((-1,) + base.shape[2:])]
+                parts += [retried[i][key] for i in sorted(retried)]
+                out[key] = jnp.concatenate(parts)
+            return out
+
+        max_out, max_cand = self.max_outputs, self.max_candidates
+        for attempt in range(4 if self.retry_overflow else 1):
+            if not retried and (max_out, max_cand) == (self.max_outputs,
+                                                       self.max_candidates):
+                # fast path: cached program over the regular [T, K] layout
+                if self._stitch_fn is None:
+                    mo, mc = self.max_outputs, self.max_candidates
+
+                    def _stitch(d):
+                        flat = stitch_detections(d, nms_thresh, nms_tile=nms_tile,
+                                                 max_candidates=mc, nms_chunk=chunk)
+                        out = compact_detections(flat, mo)
+                        out['num_pre_valid'] = flat['num_pre_valid']
+                        return out
+
+                    self._stitch_fn = jax.jit(_stitch)
+                compact = jax.device_get(self._stitch_fn(det))
+            else:
+                def _stitch_any(fl, mo=max_out, mc=max_cand):
+                    flat = stitch_flat(fl, nms_thresh, nms_tile=nms_tile,
+                                       max_candidates=mc, nms_chunk=chunk)
+                    out = compact_detections(flat, mo)
+                    out['num_pre_valid'] = flat['num_pre_valid']
+                    return out
+
+                compact = jax.device_get(jax.jit(_stitch_any)(flat_candidates()))
+            ovf_out = compact['num_valid'] > max_out
+            ovf_cand = compact['num_pre_valid'] > max_cand
+            if not self.retry_overflow or not (ovf_out or ovf_cand):
+                break
+            if ovf_out:
+                max_out *= 2
+            if ovf_cand:
+                max_cand *= 2
         valid = compact['valid']
         result = {}
         for k in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier'):
@@ -534,6 +648,7 @@ class TiledInference:
             result[k] = None if v is None else v[valid]
         result['num_tiles'] = t
         result['num_valid'] = int(compact['num_valid'])
-        result['overflow'] = bool(compact['num_valid'] > self.max_outputs or
-                                  compact['num_pre_valid'] > self.max_candidates)
+        result['overflow'] = bool(residual_fg_overflow or
+                                  compact['num_valid'] > max_out or
+                                  compact['num_pre_valid'] > max_cand)
         return result

@@ -238,7 +238,7 @@ class CPNTrainer:
 
     def validate(self, val_data, iou_threshs: Sequence[float] = (.5, .6, .7, .8, .9),
                  calibrate: bool = True, reduce_fn=None,
-                 fast_labels: bool = True, distributed: bool = False) -> Dict[str, float]:
+                 fast_labels: bool = False, distributed: bool = False) -> Dict[str, float]:
         """Hyperparameter-sweep validation with self-calibration.
 
         For every combination of ``val_hparams`` values, runs inference on all

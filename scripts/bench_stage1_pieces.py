@@ -18,8 +18,8 @@ from flax import linen as nn
 from celldetection_tpu.models import resnet as resnet_lib
 from celldetection_tpu.models.commons import Norm
 
-BATCH, HW, CIN, WIDTH = 4, 256, 64, 256
-DTYPE = jnp.bfloat16
+BATCH, HW, CIN, WIDTH = int(os.environ.get("PROF_BATCH", "4")), 256, 64, 256
+DTYPE = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[os.environ.get("PROF_DTYPE", "bfloat16")]
 
 
 def timed(name, apply_fn, v, x, iters=20):

@@ -138,9 +138,9 @@ def stage_ref(args):
 
     train_data = synthetic_split(args.n_train, seed=0, size=args.size)
     val_data = synthetic_split(args.n_val, seed=1000, size=args.size)
-    model = build_ref_model(cd, torch)
+    model = build_ref_model(cd, torch, seed=args.seed)
     opt = torch.optim.Adam(model.parameters(), lr=args.lr)
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(1 + args.seed)
     model.train()
     t0 = time.time()
     step = 0
@@ -168,6 +168,7 @@ def stage_ref(args):
     metrics['train_seconds'] = round(time.time() - t0, 1)
     metrics['steps'] = step
     metrics['epochs'] = args.epochs
+    metrics['seed'] = args.seed
     os.makedirs(args.out_dir, exist_ok=True)
     torch.save(model.state_dict(), os.path.join(args.out_dir, 'ref_trained.pt'))
     with open(os.path.join(args.out_dir, 'ref_results.json'), 'w') as f:
@@ -181,6 +182,11 @@ def stage_ref(args):
 
 def stage_tpu(args):
     _enable_jax_compile_cache()
+    import jax
+    if args.precision:
+        # 'highest' = true-fp32 conv passes, matching the torch-CPU reference
+        # training numerics (TPU default lowers fp32 convs to bf16 passes)
+        jax.config.update('jax_default_matmul_precision', args.precision)
     from celldetection_tpu import models, util
     from celldetection_tpu.runtime.trainer import CPNTrainer
     import optax
@@ -189,14 +195,17 @@ def stage_tpu(args):
     val_data = synthetic_split(args.n_val, seed=1000, size=args.size)
     model = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES,
                           max_detections=512)
-    model.init(input_shape=(1, args.size, args.size, 1))
-    trainer = CPNTrainer(model, optimizer=optax.adam(args.lr),
+    model.init(jax.random.PRNGKey(args.seed), (1, args.size, args.size, 1))
+    trainer = CPNTrainer(model, optimizer=optax.adam(args.lr), seed=args.seed,
                          val_hparams={'score_thresh': list(SCORE_SWEEP)})
     t0 = time.time()
     trainer.fit(train_data, epochs=args.epochs, batch_size=args.batch_size,
                 crop_size=args.size)
     train_seconds = round(time.time() - t0, 1)
-    metrics = trainer.validate(val_data, iou_threshs=IOU_THRESHS)
+    # fast_labels=True pins the same renderer evaluate_sweep uses on the
+    # reference side (contours2labels_native) — the comparison must not mix
+    # renderers whatever CPNTrainer's default is
+    metrics = trainer.validate(val_data, iou_threshs=IOU_THRESHS, fast_labels=True)
     out = {f'f1_np_{t}': metrics[f'f1_np_{t}'] for t in IOU_THRESHS}
     out['f1_np'] = metrics['f1_np']
     out['per_iou'] = {str(t): round(metrics[f'f1_np_{t}'], 4) for t in IOU_THRESHS}
@@ -204,6 +213,8 @@ def stage_tpu(args):
     out['train_seconds'] = train_seconds
     out['steps'] = int(trainer.state.step)  # auditability vs ref_results['steps']
     out['epochs'] = args.epochs
+    out['seed'] = args.seed
+    out['precision'] = args.precision or 'default'
     os.makedirs(args.out_dir, exist_ok=True)
     util.save_model(os.path.join(args.out_dir, 'tpu_trained.cdt'), model)
     with open(os.path.join(args.out_dir, 'tpu_results.json'), 'w') as f:
@@ -348,6 +359,10 @@ def main():
     ap.add_argument('--n-train', type=int, default=16)
     ap.add_argument('--n-val', type=int, default=8)
     ap.add_argument('--size', type=int, default=128)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--precision', default=None,
+                    help="jax_default_matmul_precision for the tpu stage "
+                         "(e.g. 'highest' to match torch-CPU fp32 numerics)")
     args = ap.parse_args()
     {'ref': stage_ref, 'tpu': stage_tpu, 'transport': stage_transport,
      'bf16': stage_bf16, 'report': stage_report}[args.stage](args)

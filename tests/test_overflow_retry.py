@@ -1,0 +1,82 @@
+"""Overflow-driven capacity retry in TiledInference (VERDICT r4 item 5).
+
+A dense synthetic mosaic whose tiles saturate a deliberately small
+``max_detections`` must, with ``retry_overflow=True`` (the default), re-run
+the saturated tiles at escalated capacity and match a high-capacity single
+pass — recall semantics of the reference's dynamic shapes
+(``/root/reference/celldetection/models/cpn.py:620``).
+"""
+import jax
+import numpy as np
+import pytest
+
+from celldetection_tpu import models
+from celldetection_tpu.parallel import TiledInference
+
+
+def _model(k):
+    m = models.CpnU12(in_channels=1, max_detections=k, samples=8,
+                      backbone_kwargs=dict(base_channels=8))
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    return m
+
+
+def _thresh_for(m, x, n_pixels):
+    dense = m.core.apply(m.variables, x[None] if x.ndim == 3 else x, False)
+    s = jax.nn.sigmoid(np.asarray(dense['scores'])).ravel()
+    return float(np.quantile(s, 1.0 - n_pixels / s.size))
+
+
+@pytest.fixture(scope='module')
+def setup():
+    rng = np.random.RandomState(0)
+    image = rng.rand(96, 96, 1).astype(np.float32)
+    big = _model(256)
+    small = _model(16)
+    small.variables = big.variables  # same weights, different capacity
+    # ~40 candidates per 64^2 tile -> saturates K=16, fits K=256
+    tile = image[:64, :64][None]
+    thresh = _thresh_for(big, tile, 40)
+    return image, big, small, thresh
+
+
+def test_retry_matches_high_capacity_pass(setup):
+    image, big, small, thresh = setup
+    t_small = TiledInference(small, tile_size=64, stride=48, border_removal=2)
+    t_big = TiledInference(big, tile_size=64, stride=48, border_removal=2)
+    res_small = t_small(image, score_thresh=thresh)
+    res_big = t_big(image, score_thresh=thresh)
+    # the retry must clear the overflow flag and reproduce the high-capacity
+    # detection set (same kept boxes after the identical stitch)
+    assert res_big['overflow'] is False
+    assert res_small['overflow'] is False
+    assert res_small['num_valid'] == res_big['num_valid']
+    order_s = np.lexsort(res_small['boxes'].T)
+    order_b = np.lexsort(res_big['boxes'].T)
+    np.testing.assert_allclose(res_small['boxes'][order_s],
+                               res_big['boxes'][order_b], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.sort(res_small['scores']),
+                               np.sort(res_big['scores']), rtol=1e-5, atol=1e-6)
+
+
+def test_retry_disabled_keeps_flag(setup):
+    image, big, small, thresh = setup
+    t_off = TiledInference(small, tile_size=64, stride=48, border_removal=2,
+                           retry_overflow=False)
+    res = t_off(image, score_thresh=thresh)
+    assert res['overflow'] is True
+    t_on = TiledInference(big, tile_size=64, stride=48, border_removal=2)
+    assert res['num_valid'] <= t_on(image, score_thresh=thresh)['num_valid']
+
+
+def test_stitch_cap_retry(setup):
+    """Saturating max_outputs/max_candidates doubles the caps instead of
+    silently truncating."""
+    image, big, _, thresh = setup
+    t = TiledInference(big, tile_size=64, stride=48, border_removal=2,
+                       max_outputs=8, max_candidates=16)
+    res = t(image, score_thresh=thresh)
+    ref = TiledInference(big, tile_size=64, stride=48, border_removal=2)(
+        image, score_thresh=thresh)
+    assert res['num_valid'] == ref['num_valid']
+    assert res['overflow'] is False
