@@ -5,7 +5,10 @@ Behavioral reference: ``celldetection/models/mobilenetv3.py:28-95``
 stem ConvBNActivation, inverted-residual stages, and the final 1x1
 ConvBNActivation ("lastconv", 6x the last block's channels) on the deepest
 level. BatchNorm uses torchvision's eps=1e-3 / torch momentum 0.01 (flax
-momentum 0.99). ``width_mult`` scales channels via the divisible-by-8 rule.
+momentum 0.99). ``width_mult`` scales channels via the divisible-by-8 rule;
+``reduced_tail`` halves the last stage (torchvision ``reduce_divider``);
+``dilated`` swaps the tail's striding for dilation 2 (the deepest feature
+level then shares the previous level's stride).
 """
 from functools import partial
 from typing import Any, Optional, Sequence, Tuple
@@ -48,19 +51,24 @@ class _InvertedResidual(nn.Module):
     use_se: bool
     use_hs: bool
     stride: int
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = jax.nn.hard_swish if self.use_hs else jax.nn.relu
         in_c = x.shape[-1]
-        use_res = self.stride == 1 and in_c == self.out_c
+        # torchvision: dilation replaces striding in the dilated tail
+        stride = 1 if self.dilation > 1 else self.stride
+        use_res = stride == 1 and in_c == self.out_c
         out = x
         if self.expanded != in_c:
             out = nn.Conv(self.expanded, (1, 1), use_bias=False, name='expand')(out)
             out = _BN(name='expand_bn')(out, train)
             out = act(out)
-        out = nn.Conv(self.expanded, (self.kernel,) * 2, strides=(self.stride,) * 2,
-                      padding=self.kernel // 2, feature_group_count=self.expanded,
+        out = nn.Conv(self.expanded, (self.kernel,) * 2, strides=(stride,) * 2,
+                      padding=(self.kernel // 2) * self.dilation,
+                      kernel_dilation=(self.dilation,) * 2,
+                      feature_group_count=self.expanded,
                       use_bias=False, name='dw')(out)
         out = _BN(name='dw_bn')(out, train)
         out = act(out)
@@ -93,7 +101,30 @@ def _scale_settings(settings, width_mult: float):
     if width_mult == 1.0:
         return [tuple(s) for s in settings]
     adj = lambda c: _make_divisible(c * width_mult)
-    return [(k, adj(e), adj(o), se, hs, s) for (k, e, o, se, hs, s) in settings]
+    return [(k, adj(e), adj(o)) + tuple(rest) for (k, e, o, *rest) in settings]
+
+
+def _tail_settings(settings, reduced_tail: bool, dilated: bool):
+    """Apply torchvision's ``reduce_divider``/``dilation`` to the last stage
+    (every entry from the final stride-2 block on — torchvision
+    ``_mobilenet_v3_conf``): ``reduced_tail`` halves the tail's out channels
+    (and the expanded width of the post-boundary blocks); ``dilated`` swaps
+    the tail's striding for dilation 2."""
+    if not (reduced_tail or dilated):
+        return [tuple(s) + (1,) for s in settings]
+    last_s2 = max(i for i, s in enumerate(settings) if s[5] == 2)
+    out = []
+    for i, (k, e, o, se, hs, s) in enumerate(settings):
+        dil = 1
+        if i >= last_s2:
+            if reduced_tail:
+                o = o // 2
+                if i > last_s2:
+                    e = e // 2
+            if dilated:
+                dil = 2
+        out.append((k, e, o, se, hs, s, dil))
+    return out
 
 
 class _MobileNetV3(nn.Module):
@@ -115,7 +146,7 @@ class _MobileNetV3(nn.Module):
         # stride-level output channels: last block at each level; the deepest
         # level reports the lastconv width (ref out_channels[-1] = 6*last)
         chans, cur = [], self.stem_channels
-        for (k, e, o, se, hs, s) in self.settings:
+        for (k, e, o, se, hs, s, *d) in self.settings:
             if s == 2:
                 chans.append(cur)
             cur = o
@@ -124,8 +155,14 @@ class _MobileNetV3(nn.Module):
 
     @property
     def out_strides(self):
-        n = len(self.out_channels)
-        return [2 ** (i + 1) for i in range(n)]
+        # a dilated tail keeps the previous level's spatial stride
+        strides, cur = [], 2
+        for (k, e, o, se, hs, s, *d) in self.settings:
+            if s == 2:
+                strides.append(cur)
+                cur *= 1 if (d and d[0] > 1) else 2
+        strides.append(cur)
+        return strides
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -135,11 +172,12 @@ class _MobileNetV3(nn.Module):
         x = jax.nn.hard_swish(x)
         features = {}
         idx = 0
-        for i, (k, e, o, se, hs, s) in enumerate(self.settings):
+        for i, (k, e, o, se, hs, s, *d) in enumerate(self.settings):
             if s == 2:
                 features[str(idx)] = x
                 idx += 1
-            x = _InvertedResidual(k, e, o, se, hs, s, name=f'block{i}')(x, train)
+            x = _InvertedResidual(k, e, o, se, hs, s, d[0] if d else 1,
+                                  name=f'block{i}')(x, train)
         x = nn.Conv(self.lastconv_channels, (1, 1), use_bias=False, name='lastconv')(x)
         x = _BN(name='lastconv_bn')(x, train)
         x = jax.nn.hard_swish(x)
@@ -151,12 +189,11 @@ def _mobilenet(settings):
     def ctor(in_channels, out_channels=0, pretrained=False, width_mult: float = 1.0,
              reduced_tail: bool = False, dilated: bool = False, **kwargs):
         kwargs.pop('nd', None)
-        if reduced_tail or dilated:
-            raise NotImplementedError('reduced_tail/dilated MobileNetV3 variants are '
-                                      'not implemented in this build')
+        conf = _tail_settings(settings, reduced_tail, dilated)
+        conf = _scale_settings(conf, width_mult)
         stem = _make_divisible(16 * width_mult) if width_mult != 1.0 else 16
-        return _MobileNetV3(settings=tuple(_scale_settings(settings, width_mult)),
-                            in_channels=in_channels, stem_channels=stem)
+        return _MobileNetV3(settings=tuple(conf), in_channels=in_channels,
+                            stem_channels=stem)
     return ctor
 
 

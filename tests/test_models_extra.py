@@ -368,3 +368,41 @@ def test_densenet_convnext_3d_forward():
     feats = c.apply(v, x3, False)
     assert feats['0'].shape == (1, 8, 8, 8, 16)
     assert feats['1'].shape == (1, 4, 4, 4, 32)
+
+
+def test_mobilenetv3_reduced_tail_and_dilated():
+    """torchvision conf parity for the reduced_tail / dilated tail variants
+    (reference: celldetection/models/mobilenetv3.py:28-95 via
+    torchvision _mobilenet_v3_conf)."""
+    import jax
+    import numpy as np
+    from celldetection_tpu.models import mobilenetv3 as mnv3
+
+    base = mnv3.MobileNetV3Large(3)
+    red = mnv3.MobileNetV3Large(3, reduced_tail=True)
+    dil = mnv3.MobileNetV3Large(3, dilated=True)
+    both = mnv3.MobileNetV3Large(3, reduced_tail=True, dilated=True)
+
+    # reduced tail: deepest level (6*out of last block) halves: 960 -> 480
+    assert base.out_channels[-1] == 960 and red.out_channels[-1] == 480
+    assert base.out_channels[:-1] == red.out_channels[:-1]
+    # dilated: deepest level keeps the previous level's stride
+    assert base.out_strides == [2, 4, 8, 16, 32]
+    assert dil.out_strides == [2, 4, 8, 16, 16]
+    assert both.out_channels[-1] == 480 and both.out_strides[-1] == 16
+
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    v = both.init(jax.random.PRNGKey(0), x)
+    feats = both.apply(v, x)
+    assert feats[str(len(both.out_channels) - 1)].shape == (1, 4, 4, 480)
+    # small variant too: 576 -> 288
+    small = mnv3.MobileNetV3Small(3, reduced_tail=True)
+    assert small.out_channels[-1] == 288
+
+    # end-to-end through the CPN zoo
+    from celldetection_tpu import models
+    m = models.get_cpn('CpnMobileNetV3LargeUNet')(
+        3, backbone_kwargs=dict(reduced_tail=True, dilated=True), max_detections=64)
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    out = m(np.zeros((64, 64, 3), np.float32))
+    assert 'contours' in out
