@@ -23,7 +23,8 @@ from . import runtime
 from . import visualization
 from . import native
 from . import kernels
-from .util.config import Config, Schedule, conf2call, conf2optimizer, conf2scheduler
+from .util.config import (Config, Schedule, conf2call, conf2optimizer, conf2scheduler,
+                          conf2tweaks_)
 from .util.tiling import Tiling, get_tiling_slices
 from .data.cpn import CPNTargetGenerator
 from .data.instance_eval import LabelMatcher, LabelMatcherList

@@ -15,16 +15,34 @@ __all__ = ['cpn_targets_single', 'collate_cpn_targets', 'CPNTrainItem']
 def cpn_targets_single(labels: np.ndarray, samples: int, order: int,
                        rng: Optional[np.random.RandomState] = None,
                        random_sampling: bool = True, hires_targets: bool = True,
+                       classes: Optional[np.ndarray] = None,
                        generator_kwargs: dict = None) -> dict:
     """One label image → target dict (un-padded instance axis).
 
     Returns keys: ``labels [H,W]`` (reduced, -1 = ignore), ``fourier [N,order,4]``,
     ``locations [N,2]``, ``sampled_contours [N,S,2]``,
     ``hires_sampled_contours [N,S,2]``, ``sampling [S]``, ``num_instances``.
+
+    ``classes`` (optional): per-instance class ids indexed by input label
+    value − 1 (the multiclass convention of the reference demo,
+    ``demos/demo-multiclass.ipynb``). The generator may drop/renumber
+    instances (fragment flagging, area filters), so classes are resolved
+    through a class *image* painted from the input labels — alignment
+    survives any relabeling. Adds ``classes [N]`` to the output.
     """
+    labels = np.ascontiguousarray(labels)
+    cls_img = None
+    if classes is not None:
+        classes = np.asarray(classes).reshape(-1)
+        lab3 = labels if labels.ndim == 3 else labels[..., None]
+        cls_img = np.zeros(lab3.shape[:2], np.int64)
+        lut = np.concatenate([[0], classes.astype(np.int64)])
+        for c in range(lab3.shape[-1]):
+            ch = np.clip(lab3[..., c], 0, len(classes))
+            cls_img = np.where(ch > 0, lut[ch], cls_img)
     gen = CPNTargetGenerator(samples=samples, order=order, random_sampling=random_sampling,
                              rng=rng, **(generator_kwargs or {}))
-    gen.feed(np.ascontiguousarray(labels))
+    gen.feed(labels)
     out = dict(
         labels=gen.reduced_labels.astype(np.int32),
         fourier=gen.fourier.astype(np.float32),
@@ -33,6 +51,17 @@ def cpn_targets_single(labels: np.ndarray, samples: int, order: int,
         sampling=gen.sampling.astype(np.float32),
         num_instances=gen.fourier.shape[0],
     )
+    if cls_img is not None:
+        num = out['num_instances']
+        per_inst = np.ones(num, np.int32)
+        lab3 = gen.labels if gen.labels.ndim == 3 else gen.labels[..., None]
+        for k in range(1, num + 1):
+            mask = (lab3 == k).any(-1)
+            vals = cls_img[mask]
+            vals = vals[vals > 0]
+            if vals.size:
+                per_inst[k - 1] = np.bincount(vals).argmax()
+        out['classes'] = per_inst
     if hires_targets:
         out['hires_sampled_contours'] = gen.resampled_contours.astype(np.float32)
     return out
@@ -58,7 +87,8 @@ def collate_cpn_targets(items: List[dict], max_instances: Optional[int] = None) 
     hs = [i['labels'].shape for i in items]
     assert len(set(hs)) == 1, f'Label shapes must match for batching: {hs}'
     out['labels'] = np.stack([i['labels'] for i in items])
-    for k in ('fourier', 'locations', 'sampled_contours', 'hires_sampled_contours'):
+    for k in ('fourier', 'locations', 'sampled_contours', 'hires_sampled_contours',
+              'classes'):
         if k in items[0]:
             out[k] = np.stack([_pad_axis0(i[k], n) for i in items])
     out['sampling'] = np.stack([i['sampling'] for i in items])

@@ -8,8 +8,16 @@ channelled label image suitable for :class:`CPNTargetGenerator`.
 import cv2
 import numpy as np
 
-__all__ = ['random_geometric_objects', 'synthetic_cells',
-           'random_circle', 'random_ellipse', 'random_rectangle', 'random_triangle']
+__all__ = ['random_geometric_objects', 'random_geometric_shapes', 'synthetic_cells',
+           'random_circle', 'random_ellipse', 'random_rectangle', 'random_triangle',
+           'CLASS_NAMES_GEOMETRIC']
+
+# class ids of the multiclass toy scene (``celldetection/data/toydata.py:4-8``)
+CLASS_NAMES_GEOMETRIC = {
+    1: 'rectangle',
+    2: 'triangle',
+    3: 'ellipse',
+}
 
 
 def _paint(image, mask, color):
@@ -97,6 +105,52 @@ def random_geometric_objects(height: int = 256, width: int = 256, num: int = 24,
     image = cv2.GaussianBlur(image, (5, 5), 1.5)
     image = image + rng.randn(height, width).astype(np.float32) * 0.03
     return np.clip(image, 0, 1), labels
+
+
+def random_geometric_shapes(height: int = 256, width: int = 256,
+                            radius_range: tuple = (3, 28),
+                            intensity_range: tuple = (0, 180), margin: int = 13,
+                            seed=None):
+    """Multiclass toy scene: colored rectangles, triangles and ellipses.
+
+    Role parity: ``celldetection/data/toydata.py:47-76``
+    (``random_geometric_objects`` with shape classes, used by
+    ``demos/demo-multiclass.ipynb``). Shapes are placed on a jittered grid so
+    instances can touch/overlap; class ids follow
+    :data:`CLASS_NAMES_GEOMETRIC`.
+
+    Returns:
+        ``(image, masks, labels, classes)`` — image ``uint8[h, w, 3]`` (white
+        background), masks ``uint8[n, h, w]``, labels ``int[h, w, n]`` (one
+        channel per instance, values ``idx+1``), classes ``int[n]``.
+    """
+    rng = np.random.RandomState(seed)
+    image = np.full((height, width, 3), 255, dtype=np.uint8)
+    mrad = int(np.max(radius_range))
+    step = int(mrad * 1.5)
+    xs = np.arange(margin + mrad, width - mrad - margin, step)
+    ys = np.arange(margin + mrad, height - mrad - margin, step)
+    masks, labels, classes = [], [], []
+    for x0 in xs:
+        for y0 in ys:
+            rad = int(rng.randint(*radius_range))
+            x = int(x0) + int(rng.randint(0, max(int(rad * .5), 1)))
+            y = int(y0) + int(rng.randint(0, max(int(rad * .5), 1)))
+            color = rng.randint(*intensity_range, 3).tolist()
+            variant = int(rng.choice([1, 2, 3]))
+            mask = np.zeros((height, width), dtype=np.uint8)
+            draw = {1: random_rectangle, 2: random_triangle, 3: random_ellipse}[variant]
+            image, mask = draw(image, mask, x, y, color,
+                               radius_range=radius_range, rng=rng)
+            if mask.sum() == 0:
+                continue
+            classes.append(variant)
+            masks.append(mask)
+            labels.append(mask.astype(np.int32) * (len(masks)))
+    if not masks:  # degenerate geometry (tiny canvas): keep shapes consistent
+        return (image, np.zeros((0, height, width), np.uint8),
+                np.zeros((height, width, 0), np.int32), np.zeros(0, np.int64))
+    return image, np.asarray(masks), np.stack(labels, -1), np.asarray(classes)
 
 
 def synthetic_cells(n: int = 8, height: int = 256, width: int = 256, seed: int = 0, **kwargs):

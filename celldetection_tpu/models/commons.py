@@ -27,11 +27,38 @@ __all__ = [
     'ScaledTanh', 'ScaledSigmoid', 'ResBlock', 'BottleneckBlock', 'ReadOut', 'Fuse', 'Normalize',
     'SqueezeExcitation', 'SelfAttention', 'LayerNorm2d', 'DynamicTanh', 'kaiming_uniform',
     'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride', 'ReplayCache', 'GroupedConv',
+    'norm_overrides',
 ]
 
 # torch nn.BatchNorm2d defaults: momentum=0.1 (flax momentum = 1 - 0.1), eps=1e-5
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
+
+# Trace-time layer overrides (``conf2tweaks_``). Torch tweaks submodules by
+# setting attributes post-construction (``celldetection/util/schedule.py:108``,
+# ``util.py:791``); flax modules are built inline during apply, so the
+# equivalent hook is a context active while a model traces: ``Norm`` consults
+# these overrides before its own fields. ``CPN.forward_padded``/``init`` wrap
+# their ``core.apply`` in :func:`norm_overrides` with the model's tweaks.
+_NORM_OVERRIDES: dict = {}
+
+
+class norm_overrides:
+    """Context manager installing per-trace norm overrides, e.g.
+    ``{'batchnorm': {'momentum': 0.95, 'epsilon': 1e-3}}`` (flax momentum)."""
+
+    def __init__(self, overrides: Optional[dict]):
+        self.overrides = overrides or {}
+
+    def __enter__(self):
+        self._saved = dict(_NORM_OVERRIDES)
+        _NORM_OVERRIDES.update(self.overrides)
+        return self
+
+    def __exit__(self, *exc):
+        _NORM_OVERRIDES.clear()
+        _NORM_OVERRIDES.update(self._saved)
+        return False
 
 
 def kaiming_uniform(a: float = 1.0):
@@ -96,11 +123,15 @@ class Norm(nn.Module):
         if kind is None or kind in ('identity', 'none'):
             return x
         if kind.startswith('batchnorm'):
+            # tweak overrides (conf2tweaks_) win over constructor fields, like
+            # torch's attribute-setting tweak_module_ does
+            ov = _NORM_OVERRIDES.get('batchnorm', {})
+            momentum = ov.get('momentum', self.momentum if self.momentum is not None
+                              else BN_MOMENTUM)
+            epsilon = ov.get('epsilon', self.epsilon if self.epsilon is not None
+                             else BN_EPS)
             return nn.BatchNorm(use_running_average=not train,
-                                momentum=self.momentum if self.momentum is not None
-                                else BN_MOMENTUM,
-                                epsilon=self.epsilon if self.epsilon is not None
-                                else BN_EPS, name='norm')(x)
+                                momentum=momentum, epsilon=epsilon, name='norm')(x)
         if kind.startswith('layernorm'):
             return nn.LayerNorm(epsilon=1e-5, name='norm')(x)
         if kind.startswith('groupnorm'):

@@ -507,6 +507,9 @@ class CPN:
         self.weights = dict(DEFAULT_WEIGHTS)
         self.iou_loss_enabled = True
         self.box_loss_enabled = False
+        # layer tweaks applied at trace time (util.conf2tweaks_), e.g.
+        # {'batchnorm': {'momentum': .95}} — flax-momentum convention
+        self.tweaks: dict = {}
 
         backbone_channels = getattr(backbone, 'feature_channels', None) or \
             getattr(backbone, 'out_channels', None)
@@ -550,7 +553,9 @@ class CPN:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         x = jnp.zeros(input_shape, self.dtype)
-        self.variables = self.core.init({'params': rng}, x, False)
+        from .commons import norm_overrides
+        with norm_overrides(getattr(self, 'tweaks', None)):
+            self.variables = self.core.init({'params': rng}, x, False)
         if getattr(self, 'torch_init', True):
             from ..util.init import detect_encoder_family, torch_init_variables
             family = detect_encoder_family(self.core.backbone)
@@ -586,12 +591,14 @@ class CPN:
                 lambda a: a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
             variables = cast(variables)
             inputs = inputs.astype(cdt)
-        if mutable:
-            dense, new_state = self.core.apply(variables, inputs, train, rngs=rngs,
-                                               mutable=['batch_stats'])
-        else:
-            dense = self.core.apply(variables, inputs, train, rngs=rngs)
-            new_state = None
+        from .commons import norm_overrides
+        with norm_overrides(getattr(self, 'tweaks', None)):
+            if mutable:
+                dense, new_state = self.core.apply(variables, inputs, train, rngs=rngs,
+                                                   mutable=['batch_stats'])
+            else:
+                dense = self.core.apply(variables, inputs, train, rngs=rngs)
+                new_state = None
         if cdt is not None and not train:
             # Decode in fp32 — except the refinement offset field, which is
             # gathered pointwise (latency-bound): keeping it in the compute
@@ -649,7 +656,9 @@ class CPN:
     def _jitted(self, nms: bool):
         # keyed by compute dtype so precision toggles (Inference(amp=...))
         # reuse their compiled programs instead of recompiling
-        key = ('infer', nms, self.compute_dtype)
+        tweak_key = tuple(sorted((k, tuple(sorted(v.items()))) for k, v in
+                                 (getattr(self, 'tweaks', None) or {}).items()))
+        key = ('infer', nms, self.compute_dtype, tweak_key)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda v, x, st: self.forward_padded(v, x, score_thresh=st, nms=nms))

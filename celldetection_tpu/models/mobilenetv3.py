@@ -37,10 +37,11 @@ class _SqueezeExcitation(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        scale = jnp.mean(x, (1, 2), keepdims=True)
-        scale = nn.Conv(self.squeeze_channels, (1, 1), name='fc1')(scale)
+        nd = x.ndim - 2
+        scale = jnp.mean(x, tuple(range(1, 1 + nd)), keepdims=True)
+        scale = nn.Conv(self.squeeze_channels, (1,) * nd, name='fc1')(scale)
         scale = jax.nn.relu(scale)
-        scale = nn.Conv(x.shape[-1], (1, 1), name='fc2')(scale)
+        scale = nn.Conv(x.shape[-1], (1,) * nd, name='fc2')(scale)
         return x * jax.nn.hard_sigmoid(scale)
 
 
@@ -57,24 +58,25 @@ class _InvertedResidual(nn.Module):
     def __call__(self, x, train: bool = False):
         act = jax.nn.hard_swish if self.use_hs else jax.nn.relu
         in_c = x.shape[-1]
+        nd = x.ndim - 2  # rank-generic (nd=2/3), like the reference's nd convs
         # torchvision: dilation replaces striding in the dilated tail
         stride = 1 if self.dilation > 1 else self.stride
         use_res = stride == 1 and in_c == self.out_c
         out = x
         if self.expanded != in_c:
-            out = nn.Conv(self.expanded, (1, 1), use_bias=False, name='expand')(out)
+            out = nn.Conv(self.expanded, (1,) * nd, use_bias=False, name='expand')(out)
             out = _BN(name='expand_bn')(out, train)
             out = act(out)
-        out = nn.Conv(self.expanded, (self.kernel,) * 2, strides=(stride,) * 2,
+        out = nn.Conv(self.expanded, (self.kernel,) * nd, strides=(stride,) * nd,
                       padding=(self.kernel // 2) * self.dilation,
-                      kernel_dilation=(self.dilation,) * 2,
+                      kernel_dilation=(self.dilation,) * nd,
                       feature_group_count=self.expanded,
                       use_bias=False, name='dw')(out)
         out = _BN(name='dw_bn')(out, train)
         out = act(out)
         if self.use_se:
             out = _SqueezeExcitation(_make_divisible(self.expanded // 4), name='se')(out)
-        out = nn.Conv(self.out_c, (1, 1), use_bias=False, name='project')(out)
+        out = nn.Conv(self.out_c, (1,) * nd, use_bias=False, name='project')(out)
         out = _BN(name='project_bn')(out, train)
         return x + out if use_res else out
 
@@ -166,7 +168,8 @@ class _MobileNetV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.stem_channels, (3, 3), strides=(2, 2), padding=1,
+        nd = x.ndim - 2
+        x = nn.Conv(self.stem_channels, (3,) * nd, strides=(2,) * nd, padding=1,
                     use_bias=False, name='stem')(x)
         x = _BN(name='stem_bn')(x, train)
         x = jax.nn.hard_swish(x)
@@ -178,7 +181,7 @@ class _MobileNetV3(nn.Module):
                 idx += 1
             x = _InvertedResidual(k, e, o, se, hs, s, d[0] if d else 1,
                                   name=f'block{i}')(x, train)
-        x = nn.Conv(self.lastconv_channels, (1, 1), use_bias=False, name='lastconv')(x)
+        x = nn.Conv(self.lastconv_channels, (1,) * nd, use_bias=False, name='lastconv')(x)
         x = _BN(name='lastconv_bn')(x, train)
         x = jax.nn.hard_swish(x)
         features[str(idx)] = x

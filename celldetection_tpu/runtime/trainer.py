@@ -58,8 +58,9 @@ class CPNTrainer:
         elif isinstance(optimizer, dict):
             optimizer = conf2optimizer(optimizer)
         if scheduler is not None:
-            optimizer = optax.chain(optimizer,
-                                    optax.scale_by_schedule(lambda s: scheduler(int(s))))
+            # schedules are traced inside the jitted step — they must accept
+            # an abstract step count (jnp ops, no int() casts)
+            optimizer = optax.chain(optimizer, optax.scale_by_schedule(scheduler))
         self.tx = optimizer
         self.mesh = mesh
         self.val_hparams = val_hparams or {'score_thresh': [.5, .86, .88, .9, .92]}
@@ -89,17 +90,24 @@ class CPNTrainer:
         from ..data.misc import random_crop, random_pad
         images, items = [], []
         for i in idx:
-            image, labels = train_data[int(i)]
+            item = train_data[int(i)]
+            # (image, labels) or (image, labels, classes) — the 3-tuple is the
+            # multiclass form (per-instance class ids, demo-multiclass parity)
+            image, labels = item[0], item[1]
+            classes = item[2] if len(item) > 2 else None
             if image.ndim == 2:
                 image = image[..., None]
             if crop_size is not None:
+                # crops keep original label values, so a per-original-id
+                # classes array stays aligned (cpn_targets_single resolves
+                # classes through a class image painted from these labels)
                 image, labels = random_crop(image, labels, height=crop_size, rng=rng_np)
                 if image.shape[0] < crop_size or image.shape[1] < crop_size:
                     # smaller-than-crop inputs: pad so the batch stacks
                     image, labels = random_pad(image, labels, height=crop_size,
                                                rng=rng_np)
             items.append(cpn_targets_single(np.ascontiguousarray(labels), samples,
-                                            order, rng=rng_np))
+                                            order, rng=rng_np, classes=classes))
             images.append(np.asarray(image, np.float32))
         targets = collate_cpn_targets(items, max_instances=max_instances)
         return {'image': np.stack(images),

@@ -12,7 +12,8 @@ from typing import Any, Callable, Dict, Union
 
 import numpy as np
 
-__all__ = ['Config', 'Schedule', 'conf2call', 'conf2optimizer', 'conf2scheduler']
+__all__ = ['Config', 'Schedule', 'conf2call', 'conf2optimizer', 'conf2scheduler',
+           'conf2tweaks_']
 
 
 def conf2call(settings: Union[dict, str], origin, **kwargs):
@@ -52,6 +53,11 @@ def _optax_registry():
             optax.rmsprop(lr, decay=alpha, eps=eps, momentum=momentum or None),
         'Adamax': lambda lr=2e-3, betas=(0.9, 0.999), eps=1e-8, **kw:
             optax.adamax(lr, b1=betas[0], b2=betas[1], eps=eps),
+        'Adadelta': lambda lr=1., rho=0.9, eps=1e-6, weight_decay=0., **kw:
+            (optax.chain(optax.add_decayed_weights(weight_decay),
+                         optax.adadelta(lr, rho=rho, eps=eps))
+             if weight_decay else optax.adadelta(lr, rho=rho, eps=eps)),
+        'Adagrad': lambda lr=1e-2, eps=1e-10, **kw: optax.adagrad(lr, eps=eps),
     }
 
 
@@ -61,27 +67,70 @@ def conf2optimizer(settings: dict):
 
 
 def _scheduler_registry():
-    import optax
+    # jnp ops only: schedules run inside the jitted train step
+    # (optax.scale_by_schedule traces them with an abstract step count)
+    import jax.numpy as jnp
     return {
         'StepLR': lambda step_size, gamma=0.1, base=1., **kw:
-            (lambda step: base * gamma ** (step // step_size)),
-        'ExponentialLR': lambda gamma, base=1., **kw: (lambda step: base * gamma ** step),
+            (lambda step: base * jnp.power(gamma, step // step_size)),
+        'ExponentialLR': lambda gamma, base=1., **kw:
+            (lambda step: base * jnp.power(gamma, step)),
         'CosineAnnealingLR': lambda T_max, eta_min=0., base=1., **kw:
             (lambda step: eta_min + (base - eta_min) * 0.5 *
-             (1 + np.cos(np.pi * np.minimum(step, T_max) / T_max))),
+             (1 + jnp.cos(jnp.pi * jnp.minimum(step, T_max) / T_max))),
         'WarmupCosine': lambda warmup_steps, total_steps, base=1., eta_min=0., **kw:
-            (lambda step: np.where(
+            (lambda step: jnp.where(
                 step < warmup_steps, base * (step + 1) / max(warmup_steps, 1),
                 eta_min + (base - eta_min) * 0.5 *
-                (1 + np.cos(np.pi * np.minimum(np.maximum(step - warmup_steps, 0),
-                                               total_steps - warmup_steps) /
-                            max(total_steps - warmup_steps, 1))))),
+                (1 + jnp.cos(jnp.pi * jnp.minimum(jnp.maximum(step - warmup_steps, 0),
+                                                  total_steps - warmup_steps) /
+                             max(total_steps - warmup_steps, 1))))),
     }
 
 
 def conf2scheduler(settings: dict):
     """Scheduler config → callable ``step -> lr multiplier`` (optax-compatible)."""
     return conf2call(settings, _scheduler_registry())
+
+
+def conf2tweaks_(settings: dict, model):
+    """Apply layer tweaks to a CPN model in place.
+
+    Parity: ``celldetection/util/schedule.py:108`` (``conf2tweaks_`` /
+    ``tweak_module_``), which sets attributes on every matching torch
+    submodule. Flax modules are constructed inline while tracing, so the
+    rebuild stores the overrides on the model (``model.tweaks``) and the CPN
+    installs them for every trace (``models/commons.py:norm_overrides``);
+    torch momentum is converted to the flax convention (flax = 1 − torch).
+
+    Supported targets: ``BatchNorm2d`` / ``BatchNorm3d`` / ``BatchNorm``
+    (``momentum``, ``eps``). Unknown targets raise, like torch's
+    ``tweak_module_(must_exist=True)`` would for absent attributes.
+
+    Examples:
+        >>> cdt.conf2tweaks_({'BatchNorm2d': dict(momentum=0.05)}, model)
+    """
+    tweaks = dict(getattr(model, 'tweaks', None) or {})
+    for target, kwargs in (settings or {}).items():
+        name = target if isinstance(target, str) else getattr(target, '__name__', str(target))
+        key = name.lower().replace('_', '')
+        if key.startswith('batchnorm'):
+            ov = dict(tweaks.get('batchnorm', {}))
+            for k, v in kwargs.items():
+                if k == 'momentum':
+                    ov['momentum'] = 1. - float(v)  # torch → flax convention
+                elif k in ('eps', 'epsilon'):
+                    ov['epsilon'] = float(v)
+                else:
+                    raise ValueError(f'Unsupported BatchNorm tweak: {k!r}')
+            tweaks['batchnorm'] = ov
+        else:
+            raise ValueError(f'Unsupported tweak target: {target!r}')
+    model.tweaks = tweaks
+    # drop stale traces — cached programs baked the previous overrides
+    if hasattr(model, '_jit_cache'):
+        model._jit_cache.clear()
+    return model
 
 
 class Config(dict):

@@ -113,19 +113,37 @@ def plot_mask(mask, ax=None, alpha=0.4, color=(0.2, 0.6, 1.0)):
 
 
 def show_detection(image=None, contours=None, boxes=None, scores=None, locations=None,
-                   figsize=(16, 9), contour_linestyle='-', ax=None, **kwargs):
-    """Image + contours + boxes + scores in one figure (parity: show_detection)."""
+                   classes=None, class_names=None, figsize=(16, 9),
+                   contour_linestyle='-', ax=None, **kwargs):
+    """Image + contours + boxes + scores in one figure.
+
+    Parity: ``celldetection/visualization/images.py:205`` — ``classes`` (per
+    detection: int ids or ready strings) and ``class_names`` (id → name dict,
+    e.g. ``data.CLASS_NAMES_GEOMETRIC``) annotate each contour with
+    ``"<score> <class>"`` like the reference's ``_score_texts``.
+    """
     plt = _plt()
     if ax is None:
         plt.figure(figsize=figsize)
         ax = plt.gca()
     if image is not None:
         imshow(image, ax=ax)
+    texts = kwargs.pop('texts', None)
+    if texts is None and scores is not None and (classes is not None or class_names is not None):
+        texts = []
+        for i, s in enumerate(np.asarray(scores).reshape(-1)):
+            label = f'{float(s):.2f}'
+            if classes is not None:
+                c = classes[i]
+                if class_names is not None and not isinstance(c, str):
+                    c = class_names.get(int(c), int(c))
+                label = f'{label} {c}'
+            texts.append(label)
     if contours is not None:
-        plot_contours(contours, ax=ax, linestyle=contour_linestyle, **kwargs)
+        plot_contours(contours, ax=ax, linestyle=contour_linestyle, texts=texts, **kwargs)
     if boxes is not None:
         plot_boxes(boxes, ax=ax)
-    if scores is not None and locations is not None:
+    if scores is not None and locations is not None and texts is None:
         plot_score(scores, locations, ax=ax)
     return ax
 

@@ -331,6 +331,34 @@ def test_resnet_unet_fpn_3d_forward():
     assert feats['pool'].shape[1:4] == (1, 1, 1)
 
 
+def test_convnext_densenet_mobilenet_3d_forward():
+    """nd=3 smoke for the remaining encoder families (parity: the reference
+    generalizes ConvNeXt/DenseNet/MobileNetV3 to nd,
+    celldetection/models/convnext.py:117, densenet.py:156,
+    mobilenetv3.py:28-95)."""
+    from celldetection_tpu.models import convnext, densenet, mobilenetv3
+
+    x3 = jnp.zeros((1, 16, 16, 16, 1))
+
+    m = convnext.ConvNeXtAttoEncoder(in_channels=1) \
+        if hasattr(convnext, 'ConvNeXtAttoEncoder') else convnext.ConvNeXtTiny(1)
+    v = m.init(jax.random.PRNGKey(0), x3, False)
+    feats = m.apply(v, x3, False)
+    assert feats['0'].shape[1:4] == (4, 4, 4)
+
+    m = densenet.DenseNet121(in_channels=1)
+    v = m.init(jax.random.PRNGKey(0), x3, False)
+    feats = m.apply(v, x3, False)
+    assert feats['0'].shape[1:4] == (4, 4, 4)
+
+    m = mobilenetv3.MobileNetV3Small(in_channels=1)
+    v = m.init(jax.random.PRNGKey(0), x3, False)
+    feats = m.apply(v, x3, False)
+    # every stride-2 level halves ALL three spatial dims (nd-generic strides)
+    assert feats['0'].shape[1:4] == (8, 8, 8)
+    assert feats['1'].shape[1:4] == (4, 4, 4)
+
+
 def test_ppm_manet_3d_forward():
     from celldetection_tpu.models.ppm import Ppm
     from celldetection_tpu.models.manet import PositionWiseAttention, MultiscaleFusionAttention

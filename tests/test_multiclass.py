@@ -1,0 +1,117 @@
+"""Multiclass pipeline: class-labeled toydata → class targets → training →
+per-class predictions; plus conf2tweaks_ (demo-multiclass parity surface,
+``/root/reference/demos/demo-multiclass.ipynb``).
+"""
+import numpy as np
+import pytest
+
+import celldetection_tpu as cdt
+from celldetection_tpu.data import (CLASS_NAMES_GEOMETRIC, collate_cpn_targets,
+                                    cpn_targets_single, toydata)
+
+
+def test_random_geometric_shapes_output():
+    img, masks, labels, classes = toydata.random_geometric_shapes(192, 192, seed=3)
+    assert img.shape == (192, 192, 3) and img.dtype == np.uint8
+    n = len(classes)
+    assert masks.shape == (n, 192, 192)
+    assert labels.shape == (192, 192, n)
+    assert set(np.unique(classes)) <= {1, 2, 3}
+    assert set(CLASS_NAMES_GEOMETRIC) == {1, 2, 3}
+    # label channel k carries value k+1 exactly where mask k is set
+    for k in range(min(n, 5)):
+        assert np.array_equal(labels[..., k] > 0, masks[k] > 0)
+        assert labels[..., k].max() == k + 1
+
+
+def test_cpn_targets_single_classes_alignment():
+    _, _, labels, classes = toydata.random_geometric_shapes(160, 160, seed=0)
+    t = cpn_targets_single(labels.copy(), samples=16, order=3, classes=classes)
+    assert 'classes' in t and t['classes'].shape == (t['num_instances'],)
+    assert set(np.unique(t['classes'])) <= {1, 2, 3}
+    # the generator kept all instances here, so classes must match 1:1 by
+    # instance id (class image lookup == direct indexing)
+    if t['num_instances'] == len(classes):
+        assert np.array_equal(t['classes'], classes.astype(t['classes'].dtype))
+    batch = collate_cpn_targets([t, t], max_instances=64)
+    assert batch['classes'].shape == (2, 64)
+
+
+def test_classes_survive_relabeling():
+    # drop an instance by zeroing it out: ids are renumbered inside the
+    # generator, classes must follow (the class-image lookup, not raw index)
+    _, _, labels, classes = toydata.random_geometric_shapes(160, 160, seed=1)
+    victim = 1  # zero out instance id 1 (class classes[0])
+    labels = labels.copy()
+    labels[..., victim - 1] = 0
+    t = cpn_targets_single(labels, samples=16, order=3, classes=classes)
+    # mapping per surviving instance: every produced class must be one the
+    # victim's class list minus nothing-but-consistent (no misalignment means
+    # each instance's class is among the original classes)
+    assert t['num_instances'] <= len(classes) - 1 + 1
+    assert set(np.unique(t['classes'])) <= set(np.unique(classes))
+
+
+def test_multiclass_train_and_predict():
+    import jax
+    import optax
+    data = []
+    for i in range(2):
+        img, _, labels, classes = toydata.random_geometric_shapes(128, 128, seed=i)
+        data.append((img.astype(np.float32) / 255., labels, classes))
+    m = cdt.models.CpnU12(in_channels=3, classes=4, max_detections=128, samples=16,
+                          order=3, backbone_kwargs=dict(base_channels=4))
+    m.init(jax.random.PRNGKey(0), (1, 128, 128, 3))
+    tr = cdt.CPNTrainer(m, optimizer=optax.adam(1e-3))
+    tr.fit(data, epochs=1, batch_size=2, max_instances=64)
+    out = m(data[0][0], score_thresh=.0)
+    cls = np.asarray(out['classes'][0])
+    assert cls.ndim == 1
+    assert (cls >= 0).all() and (cls <= 3).all()
+
+
+def test_conf2tweaks_batchnorm():
+    import jax
+    import jax.numpy as jnp
+    m = cdt.models.CpnU12(in_channels=1, backbone_kwargs=dict(base_channels=4),
+                          max_detections=32, samples=8, order=3)
+    cdt.conf2tweaks_({'BatchNorm2d': dict(momentum=0.05, eps=1e-3)}, m)
+    assert m.tweaks['batchnorm'] == {'momentum': 0.95, 'epsilon': 1e-3}
+    m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    # momentum is observable through the batch_stats update: with flax
+    # momentum u, mean' = u*mean + (1-u)*batch_mean
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 1), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    _, state = m.forward_padded(m.variables, x, train=True, mutable=True,
+                                selection_rng=rng)
+    leaf = jax.tree_util.tree_leaves(state['batch_stats'])[0]
+    base = jax.tree_util.tree_leaves(m.variables['batch_stats'])[0]
+    # one update from zero-init mean: mean' = (1-momentum)*batch_mean; with
+    # momentum .95 updates are 20x smaller than torch-default .9 would give
+    m2 = cdt.models.CpnU12(in_channels=1, backbone_kwargs=dict(base_channels=4),
+                           max_detections=32, samples=8, order=3)
+    m2.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    _, state2 = m2.forward_padded(m2.variables, x, train=True, mutable=True,
+                                  selection_rng=rng)
+    leaf2 = jax.tree_util.tree_leaves(state2['batch_stats'])[0]
+    d1 = float(jnp.abs(leaf - base).max())
+    d2 = float(jnp.abs(leaf2 - base).max())
+    assert d1 > 0 and d2 > 0
+    assert d1 < d2  # tweaked momentum (.95) moves stats less than default (.9)
+    np.testing.assert_allclose(d2 / d1, (1 - .9) / (1 - .95), rtol=1e-3)
+
+    with pytest.raises(ValueError):
+        cdt.conf2tweaks_({'LeakyReLU': dict(negative_slope=.2)}, m)
+
+
+def test_show_detection_classes(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from celldetection_tpu import visualization as vis
+    img = np.zeros((32, 32, 3), np.uint8)
+    cons = [np.asarray([[4, 4], [10, 4], [10, 10], [4, 10]], np.float32)]
+    ax = vis.show_detection(image=img, contours=cons, scores=[0.9], classes=[2],
+                            class_names=CLASS_NAMES_GEOMETRIC)
+    assert ax is not None
+    plt.close('all')
