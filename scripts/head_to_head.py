@@ -196,6 +196,20 @@ def stage_tpu(args):
     model = models.CpnU22(in_channels=1, order=ORDER, samples=SAMPLES,
                           max_detections=512)
     model.init(jax.random.PRNGKey(args.seed), (1, args.size, args.size, 1))
+    if args.ref_init:
+        # train OUR loop from the reference's exact (untrained, transported)
+        # init — isolates init statistics from training dynamics
+        import refshim
+        refshim.install()
+        if '/root/reference' not in sys.path:
+            sys.path.insert(0, '/root/reference')
+        import celldetection as cd
+        import torch
+        ref0 = build_ref_model(cd, torch, seed=args.seed)
+        sd = {k[len('core.'):]: v.numpy() for k, v in ref0.state_dict().items()
+              if k != 'order_weights'}
+        model.variables = util.import_state_dict(
+            model.variables, util.translate_cpn_state_dict(sd), strict=True)
     trainer = CPNTrainer(model, optimizer=optax.adam(args.lr), seed=args.seed,
                          val_hparams={'score_thresh': list(SCORE_SWEEP)})
     t0 = time.time()
@@ -215,6 +229,7 @@ def stage_tpu(args):
     out['epochs'] = args.epochs
     out['seed'] = args.seed
     out['precision'] = args.precision or 'default'
+    out['ref_init'] = bool(args.ref_init)
     os.makedirs(args.out_dir, exist_ok=True)
     util.save_model(os.path.join(args.out_dir, 'tpu_trained.cdt'), model)
     with open(os.path.join(args.out_dir, 'tpu_results.json'), 'w') as f:
@@ -360,6 +375,9 @@ def main():
     ap.add_argument('--n-val', type=int, default=8)
     ap.add_argument('--size', type=int, default=128)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--ref-init', action='store_true',
+                    help='tpu stage: start from the transported untrained '
+                         'reference init (isolates init vs training dynamics)')
     ap.add_argument('--precision', default=None,
                     help="jax_default_matmul_precision for the tpu stage "
                          "(e.g. 'highest' to match torch-CPU fp32 numerics)")

@@ -95,12 +95,18 @@ def test_samples_changeable_on_the_fly():
                       backbone_kwargs=dict(base_channels=8))
     m.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
     x = np.random.RandomState(0).rand(1, 64, 64, 1).astype(np.float32)
-    out8 = m(x, score_thresh=0.3)
+    # nms=False: the fg score selection is independent of `samples`, so the
+    # detection sets must match exactly. (With NMS the boxes derive from the
+    # decoded contours, whose sample density changes keep patterns — counts
+    # may legitimately differ on a random-weight net.)
+    out8 = m(x, score_thresh=0.3, nms=False)
     m.samples = 32
     m._jit_cache.clear()
-    out32 = m(x, score_thresh=0.3)
+    out32 = m(x, score_thresh=0.3, nms=False)
     assert all(c.shape[1] == 32 for c in out32['contours'])
     assert len(out8['contours'][0]) == len(out32['contours'][0])
+    np.testing.assert_allclose(np.asarray(out8['scores'][0]),
+                               np.asarray(out32['scores'][0]), rtol=1e-5)
 
 
 def test_multiclass_training_step():

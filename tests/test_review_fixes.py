@@ -446,8 +446,13 @@ def test_mobilenetv3_lastconv_and_width():
 
     narrow = MobileNetV3Small(3, width_mult=0.5)
     assert narrow.out_channels[-1] < 576
-    with pytest.raises(NotImplementedError):
-        MobileNetV3Small(3, reduced_tail=True)
+    # reduced_tail halves the last stage (torchvision reduce_divider=2):
+    # Small's lastconv 576 -> 288; dilated keeps the deepest level at the
+    # previous stride (torchvision mobilenetv3.py:28-95 via the conf)
+    reduced = MobileNetV3Small(3, reduced_tail=True)
+    assert reduced.out_channels[-1] == 288
+    dilated = MobileNetV3Small(3, dilated=True)
+    assert dilated.out_strides[-1] == dilated.out_strides[-2]
 
 
 def test_fpn_channels_positional():
