@@ -28,21 +28,25 @@ def _blob_image(size=256, n=25, seed=7):
     return np.clip(img, 0, 1)
 
 
-def _spread_heads(variables, score_gain=300.0, fourier_gain=25.0):
-    """Random-init heads emit near-constant fields; spreading the final head
-    convs makes the detection set well-separated (same rationale as
-    tests/test_reference_parity.py)."""
-    p = variables['params']
-    p['score_head']['conv1']['kernel'] = p['score_head']['conv1']['kernel'] * score_gain
-    p['fourier_head']['conv1']['kernel'] = p['fourier_head']['conv1']['kernel'] * fourier_gain
-    return variables
+def _spread_heads(model, img, logit_std=4.0, fourier_std=3.0):
+    """Random-init heads emit near-constant fields; normalizing the dense
+    head outputs to fixed stds makes the detection set well-separated and
+    keeps this fixture independent of the init distribution (a fixed gain
+    broke when init switched to torch-matching fan-in scaling)."""
+    p = model.variables['params']
+    dense = model.core.apply(model.variables, img[None], False)
+    s = float(np.asarray(dense['scores'], np.float32).std())
+    f = float(np.asarray(dense['fourier'], np.float32).std())
+    p['score_head']['conv1']['kernel'] = p['score_head']['conv1']['kernel'] * (logit_std / max(s, 1e-8))
+    p['fourier_head']['conv1']['kernel'] = p['fourier_head']['conv1']['kernel'] * (fourier_std / max(f, 1e-8))
+    return model.variables
 
 
 def test_bf16_detections_match_fp32():
     img = _blob_image()
     m32 = models.CpnU22(in_channels=3, max_detections=1024, samples=32)
     m32.init(jax.random.PRNGKey(0), (1,) + img.shape)
-    m32.variables = _spread_heads(m32.variables)
+    m32.variables = _spread_heads(m32, img)
 
     dense = m32.core.apply(m32.variables, img[None], False)
     s = np.asarray(jax.nn.sigmoid(dense['scores'])).ravel()
