@@ -637,10 +637,16 @@ class TiledInference:
             ovf_cand = compact['num_pre_valid'] > max_cand
             if not self.retry_overflow or not (ovf_out or ovf_cand):
                 break
-            if ovf_out:
-                max_out *= 2
-            if ovf_cand:
+            # num_pre_valid is the TRUE pre-truncation candidate count and
+            # num_valid the TRUE NMS keep count, so jump straight to
+            # sufficient power-of-two caps (blind doubling could exhaust the
+            # attempt budget when the caps start far below the real counts)
+            need = int(max(compact['num_pre_valid'] if ovf_cand else 0,
+                           compact['num_valid'], 1))
+            while max_cand < need:
                 max_cand *= 2
+            while max_out < min(need, max_cand):
+                max_out *= 2
         valid = compact['valid']
         result = {}
         for k in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier'):
