@@ -79,6 +79,7 @@ class CPNTrainer:
         self._np_seed_counter = 0
         self.state = TrainState.create(model, self.tx)
         self._step_fn = make_train_step(model, self.tx, mesh=mesh)
+        self._tweak_epoch_seen = getattr(model, '_tweak_epoch', 0)
         self._ema_loss = None
         self.history: List[dict] = []
         self.best_hparams: Dict[str, float] = {}
@@ -86,10 +87,17 @@ class CPNTrainer:
     # --- training -----------------------------------------------------------
 
     def _make_batch(self, train_data, idx, samples, order, max_instances, rng_np,
-                    crop_size=None):
+                    crop_size=None, item_seeds=None):
         from ..data.misc import random_crop, random_pad
+        # Per-item RNG streams (seeded from the batch RNG) keep target
+        # sampling identical whether a batch is built whole (single process)
+        # or as per-process slices (multi-host fit): item i's crops/samplings
+        # depend only on its seed, not on which process renders it.
+        if item_seeds is None:
+            item_seeds = rng_np.randint(2 ** 31, size=len(idx))
         images, items = [], []
-        for i in idx:
+        for i, seed in zip(idx, item_seeds):
+            rng_np = np.random.RandomState(int(seed))
             item = train_data[int(i)]
             # (image, labels) or (image, labels, classes) — the 3-tuple is the
             # multiclass form (per-instance class ids, demo-multiclass parity)
@@ -133,6 +141,12 @@ class CPNTrainer:
         ``update_sampler_weights``).
         """
         from concurrent.futures import ThreadPoolExecutor
+        # conf2tweaks_ applied after trainer construction: rebuild the jitted
+        # step so the new norm overrides are traced in (ADVICE r4)
+        if getattr(self.model, '_tweak_epoch', 0) != self._tweak_epoch_seen:
+            self._step_fn = make_train_step(self.model, self.tx, mesh=self.mesh)
+            self._tiled = None
+            self._tweak_epoch_seen = getattr(self.model, '_tweak_epoch', 0)
         samples = samples or self.model.samples
         order = order or self.model.order
         n = len(train_data)
@@ -146,6 +160,24 @@ class CPNTrainer:
         item_seen = np.zeros(n, bool)
         prefetch = max(prefetch, 1)
         pool = ThreadPoolExecutor(max_workers=prefetch)
+        # Multi-host fit (mesh spans processes): every process walks the SAME
+        # global epoch order (identical seed), builds only its 1/n_proc slice
+        # of each batch, and the train step assembles the slices into one
+        # global sharded batch — the DistributedSampler role in the
+        # reference's multi-node DDP training (lightning_base.py:397-440).
+        from ..parallel.train import mesh_spans_processes
+        n_proc, rank = 1, 0
+        if self.mesh is not None and 'data' in self.mesh.shape:
+            data_size = self.mesh.shape['data']
+            if batch_size % data_size:
+                raise ValueError(f'batch_size ({batch_size}) must be divisible '
+                                 f'by the mesh data-axis size ({data_size})')
+        if mesh_spans_processes(self.mesh):
+            n_proc, rank = jax.process_count(), jax.process_index()
+            if batch_size % n_proc:
+                raise ValueError(f'multi-host fit: batch_size ({batch_size}) must '
+                                 f'be divisible by the process count ({n_proc})')
+        local_bs = batch_size // n_proc
         for epoch in range(epochs):
             self.item_record = {}  # per-epoch item records (lightning_base.py:311)
             if adaptive_sampling and item_seen.all():
@@ -168,14 +200,17 @@ class CPNTrainer:
             batch_rngs = [np.random.RandomState(rng_np.randint(2 ** 31)) for _ in starts]
 
             def submit(j):
-                return pool.submit(self._make_batch, train_data,
-                                   epoch_idx[starts[j]:starts[j] + batch_size],
+                gidx = epoch_idx[starts[j]:starts[j] + batch_size]
+                seeds = batch_rngs[j].randint(2 ** 31, size=len(gidx))
+                lo, hi = rank * local_bs, (rank + 1) * local_bs
+                return pool.submit(self._make_batch, train_data, gidx[lo:hi],
                                    samples, order, max_instances, batch_rngs[j],
-                                   crop_size)
+                                   crop_size, seeds[lo:hi])
 
             window = {j: submit(j) for j in range(min(prefetch, len(starts)))}
             for bi, start in enumerate(starts):
-                idx = epoch_idx[start:start + batch_size]
+                idx = epoch_idx[start:start + batch_size][rank * local_bs:
+                                                          (rank + 1) * local_bs]
                 batch = window.pop(bi).result()
                 nxt = bi + prefetch
                 if nxt < len(starts):
@@ -274,7 +309,11 @@ class CPNTrainer:
             combo_saved = self._apply_model_hparams(
                 {k: v for k, v in setting.items() if k != 'score_thresh'})
             matchers = LabelMatcherList(reduce_fn=reduce_fn)
-            for image, labels in val_data:
+            for item in val_data:
+                # (image, labels) or (image, labels, classes) — the multiclass
+                # triple form accepted by fit(); instance matching ignores the
+                # class ids (parity: _evaluation_step, lightning_cpn.py:65-78)
+                image, labels = item[0], item[1]
                 if image.ndim == 2:
                     image = image[..., None]
                 pred = self._predict_single(np.asarray(image, np.float32),

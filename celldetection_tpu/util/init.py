@@ -145,8 +145,13 @@ def torch_init_variables(variables, rng, encoder_family: Optional[str] = None,
         if 'kernel' in tree and hasattr(tree['kernel'], 'shape') \
                 and getattr(tree['kernel'], 'ndim', 0) >= 2:
             scheme = SCHEMES[resolver(path)]
+            # crc32, NOT hash(): Python string hashing is salted per process
+            # (PYTHONHASHSEED), which made "same seed" inits differ across
+            # processes/runs — fatal for multi-host training, where every
+            # process must materialize bit-identical replicated params
+            import zlib
             leaf_rng = jax.random.fold_in(
-                rng, int(np.uint32(hash('/'.join(path)) & 0x7FFFFFFF)))
+                rng, int(np.uint32(zlib.crc32('/'.join(path).encode()) & 0x7FFFFFFF)))
             bias = tree.get('bias')
             new_kernel, new_bias = scheme(leaf_rng, tree['kernel'], bias)
             out['kernel'] = new_kernel

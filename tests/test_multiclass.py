@@ -70,6 +70,30 @@ def test_multiclass_train_and_predict():
     assert (cls >= 0).all() and (cls <= 3).all()
 
 
+def test_multiclass_validation_accepts_triples():
+    """fit(val_data=...) and validate() on (image, labels, classes) triples —
+    the multiclass dataset format itself (VERDICT r4 item 7; parity:
+    demo-multiclass eval)."""
+    import jax
+    import optax
+    data = []
+    for i in range(2):
+        img, _, labels, classes = toydata.random_geometric_shapes(96, 96, seed=10 + i)
+        data.append((img.astype(np.float32) / 255., labels, classes))
+    m = cdt.models.CpnU12(in_channels=3, classes=4, max_detections=64, samples=16,
+                          order=3, backbone_kwargs=dict(base_channels=4))
+    m.init(jax.random.PRNGKey(0), (1, 96, 96, 3))
+    tr = cdt.CPNTrainer(m, optimizer=optax.adam(1e-3),
+                        val_hparams={'score_thresh': [.5, .9]},
+                        log_fn=lambda *a: None)
+    # fit with the SAME multiclass dataset passed as val_data (the exact call
+    # that crashed before the fix: validate unpacked 2-tuples only)
+    tr.fit(data, epochs=1, batch_size=2, max_instances=64, val_data=data)
+    metrics = tr.validate(data)
+    assert 'f1_np' in metrics and np.isfinite(metrics['f1_np'])
+    assert tr.best_hparams.get('score_thresh') in (.5, .9)
+
+
 def test_conf2tweaks_batchnorm():
     import jax
     import jax.numpy as jnp
