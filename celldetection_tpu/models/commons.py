@@ -27,7 +27,7 @@ __all__ = [
     'ScaledTanh', 'ScaledSigmoid', 'ResBlock', 'BottleneckBlock', 'ReadOut', 'Fuse', 'Normalize',
     'SqueezeExcitation', 'SelfAttention', 'LayerNorm2d', 'DynamicTanh', 'kaiming_uniform',
     'MinibatchStdLayer', 'SpatialSplit', 'AdditiveNoise', 'Stride', 'ReplayCache', 'GroupedConv',
-    'norm_overrides',
+    'norm_overrides', 'FusableReadOut', 'fused_head_conv',
 ]
 
 # torch nn.BatchNorm2d defaults: momentum=0.1 (flax momentum = 1 - 0.1), eps=1e-5
@@ -40,7 +40,15 @@ BN_EPS = 1e-5
 # equivalent hook is a context active while a model traces: ``Norm`` consults
 # these overrides before its own fields. ``CPN.forward_padded``/``init`` wrap
 # their ``core.apply`` in :func:`norm_overrides` with the model's tweaks.
-_NORM_OVERRIDES: dict = {}
+# Thread-local so concurrent traces of differently-tweaked models cannot leak
+# overrides into each other (ADVICE r4).
+import threading
+
+_NORM_TLS = threading.local()
+
+
+def _current_norm_overrides() -> dict:
+    return getattr(_NORM_TLS, 'overrides', {})
 
 
 class norm_overrides:
@@ -51,13 +59,14 @@ class norm_overrides:
         self.overrides = overrides or {}
 
     def __enter__(self):
-        self._saved = dict(_NORM_OVERRIDES)
-        _NORM_OVERRIDES.update(self.overrides)
+        self._saved = _current_norm_overrides()
+        merged = dict(self._saved)
+        merged.update(self.overrides)
+        _NORM_TLS.overrides = merged
         return self
 
     def __exit__(self, *exc):
-        _NORM_OVERRIDES.clear()
-        _NORM_OVERRIDES.update(self._saved)
+        _NORM_TLS.overrides = self._saved
         return False
 
 
@@ -125,7 +134,7 @@ class Norm(nn.Module):
         if kind.startswith('batchnorm'):
             # tweak overrides (conf2tweaks_) win over constructor fields, like
             # torch's attribute-setting tweak_module_ does
-            ov = _NORM_OVERRIDES.get('batchnorm', {})
+            ov = _current_norm_overrides().get('batchnorm', {})
             momentum = ov.get('momentum', self.momentum if self.momentum is not None
                               else BN_MOMENTUM)
             epsilon = ov.get('epsilon', self.epsilon if self.epsilon is not None
@@ -373,6 +382,96 @@ class ReadOut(nn.Module):
         if isinstance(fa, nn.Module):
             return fa(x)
         return get_activation(fa)(x)
+
+
+class _Conv0Weights(nn.Module):
+    """Param-layout stand-in for ``ReadOut``'s first conv (child name
+    ``conv0``): declares the exact ``nn.Conv`` kernel/bias params (same
+    shapes, same default inits, same path → same init draw) and returns them
+    instead of computing, so sibling heads can fuse their convs."""
+    features: Optional[int]
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        in_c = x.shape[-1]
+        out_c = self.features or in_c
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (self.kernel_size,) * nd + (in_c, out_c))
+        bias = self.param('bias', nn.initializers.zeros, (out_c,))
+        return kernel, bias
+
+
+def fused_head_conv(x, kernels, biases, stride: int, padding: int):
+    """One conv over the concatenated output channels of several same-geometry
+    head convs reading the same input.
+
+    TPU rationale: CPN's score/location/fourier heads each run a KxK conv with
+    ~64 output channels on the SAME full-resolution map. 64 output channels
+    underfill the 128-lane MXU tiling and each conv pays its own weight-load
+    and map re-read from HBM; concatenating the kernels runs ONE conv with
+    192-256 output channels — full tiles, one pass over the (bandwidth-bound)
+    input map. FLOPs are identical; utilization is not.
+    """
+    from flax.linen import dtypes as _dtypes
+    nd = x.ndim - 2
+    kernel = kernels[0] if len(kernels) == 1 else jnp.concatenate(kernels, axis=-1)
+    bias = biases[0] if len(biases) == 1 else jnp.concatenate(biases, axis=-1)
+    x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias, dtype=None)
+    spec = {1: ('NWC', 'WIO', 'NWC'), 2: ('NHWC', 'HWIO', 'NHWC'),
+            3: ('NDHWC', 'DHWIO', 'NDHWC')}[nd]
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, spec)
+    y = jax.lax.conv_general_dilated(x, kernel, window_strides=(stride,) * nd,
+                                     padding=((padding, padding),) * nd,
+                                     dimension_numbers=dn)
+    return y + bias
+
+
+class FusableReadOut(nn.Module):
+    """``ReadOut`` with its first conv exposed for cross-head fusion.
+
+    Identical param tree to :class:`ReadOut` (children ``conv0``, ``norm``,
+    ``dropout``, ``conv1``) so checkpoints, torch transport and init are
+    unaffected — only the compute path differs. Protocol: call once with
+    ``mode='weights'`` to create + fetch the conv0 kernel/bias, fuse the
+    sibling heads' convs via :func:`fused_head_conv`, then call again with
+    ``mode='tail'`` handing each head its channel slice. Calling with the
+    default mode reproduces plain ``ReadOut`` behavior.
+    """
+    channels_out: int
+    kernel_size: int = 3
+    padding: Optional[int] = None
+    activation: Any = 'relu'
+    norm: Union[str, None] = 'batchnorm2d'
+    final_activation: Any = None
+    dropout: float = 0.1
+    channels_mid: Optional[int] = None
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mode: str = 'full', mid=None):
+        nd = x.ndim - 2
+        kernel, bias = _Conv0Weights(self.channels_mid, self.kernel_size,
+                                     name='conv0')(x)
+        if mode == 'weights':
+            return kernel, bias
+        if mid is None:
+            pad = self.kernel_size // 2 if self.padding is None else self.padding
+            mid = fused_head_conv(x, [kernel], [bias], self.stride, pad)
+        y = Norm(self.norm, name='norm')(mid, train)
+        y = get_activation(self.activation)(y)
+        if self.dropout:
+            y = nn.Dropout(self.dropout, deterministic=not train,
+                           broadcast_dims=tuple(range(1, y.ndim - 1)),
+                           name='dropout')(y)
+        y = nn.Conv(self.channels_out, (1,) * nd, name='conv1')(y)
+        if self.final_activation is None:
+            return y
+        fa = self.final_activation
+        if isinstance(fa, nn.Module):
+            return fa(y)
+        return get_activation(fa)(y)
 
 
 class Fuse(nn.Module):

@@ -29,7 +29,7 @@ from ..ops.commons import downsample_labels, equal_size, process_scores
 from ..ops.cpn import (batched_box_nms, fouriers2contours, order_weighting,
                        rel_location2abs_location, resolve_refinement_buckets, scale_contours,
                        scale_fourier)
-from .commons import Fuse, ReadOut, ScaledTanh
+from .commons import Fuse, FusableReadOut, ReadOut, ScaledTanh, fused_head_conv
 from . import unet as unet_lib
 
 __all__ = [
@@ -117,17 +117,56 @@ class CPNCore(nn.Module):
                            activation=self.head_activation, final_activation=final_activation,
                            name=f'{name}_head')(feats, train)
 
-        scores = head(self.score_features, self.score_channels, self.kernel_size_score,
-                      'score', self.contour_head_channels, self.contour_head_stride)
-        locations = head(self.location_features, 2, self.kernel_size_location,
-                         'location', self.contour_head_channels, self.contour_head_stride)
-        fourier = head(self.contour_features, self.order * 4, self.kernel_size_fourier,
-                       'fourier', self.contour_head_channels, self.contour_head_stride)
-        uncertainty = None
+        # The contour heads (score/location/fourier [+uncertainty]) normally
+        # read the SAME feature map with the SAME conv geometry; when they do,
+        # their KxK convs fuse into ONE conv with concatenated output channels
+        # (fused_head_conv — full MXU tiles + one HBM pass over the map
+        # instead of 3-4; the heads are ~half the CpnU22 FLOPs at batch 1).
+        # Param tree is unchanged (FusableReadOut == ReadOut layout).
+        specs = [('score', self.score_features, self.score_channels,
+                  self.kernel_size_score, None),
+                 ('location', self.location_features, 2,
+                  self.kernel_size_location, None),
+                 ('fourier', self.contour_features, self.order * 4,
+                  self.kernel_size_fourier, None)]
         if self.uncertainty_head:
-            uncertainty = head(self.uncertainty_features, 4, self.kernel_size_uncertainty,
-                               'uncertainty', self.contour_head_channels, self.contour_head_stride,
-                               final_activation='sigmoid')
+            specs.append(('uncertainty', self.uncertainty_features, 4,
+                          self.kernel_size_uncertainty, 'sigmoid'))
+        resolved = [_resolve_features(features, k) for _, k, *_ in specs]
+        fusable = (not any(isinstance(f, list) for f in resolved)
+                   and all(f is resolved[0] for f in resolved)
+                   and len({ks for *_, ks, _ in specs}) == 1)
+        outs = {}
+        if fusable:
+            x0 = resolved[0]
+            mods, kernels, biases = [], [], []
+            for name, _, out_c, ksize, fa in specs:
+                m = FusableReadOut(out_c, kernel_size=ksize,
+                                   channels_mid=self.contour_head_channels,
+                                   stride=self.contour_head_stride,
+                                   activation=self.head_activation,
+                                   final_activation=fa, name=f'{name}_head')
+                k, b = m(x0, train, mode='weights')
+                mods.append(m)
+                kernels.append(k)
+                biases.append(b)
+            mid_all = fused_head_conv(x0, kernels, biases,
+                                      self.contour_head_stride,
+                                      specs[0][3] // 2)
+            off = 0
+            for m, (name, *_), k in zip(mods, specs, kernels):
+                c = k.shape[-1]
+                outs[name] = m(x0, train, mode='tail',
+                               mid=mid_all[..., off:off + c])
+                off += c
+        else:
+            for name, keys, out_c, ksize, fa in specs:
+                outs[name] = head(keys, out_c, ksize, name,
+                                  self.contour_head_channels,
+                                  self.contour_head_stride,
+                                  final_activation=fa)
+        scores, locations, fourier = outs['score'], outs['location'], outs['fourier']
+        uncertainty = outs.get('uncertainty')
         refinement = None
         if self.refinement:
             ref_feats = _resolve_features(features, self.refinement_features)
