@@ -244,10 +244,11 @@ def _nms_sweep(b: jnp.ndarray, v: jnp.ndarray, iou_threshold: float, tile: int) 
     return jax.lax.fori_loop(0, num_tiles, tile_body, keep)
 
 
-@partial(jax.jit, static_argnames=('iou_threshold', 'chunk', 'tile', 'survivors_cap'))
+@partial(jax.jit, static_argnames=('iou_threshold', 'chunk', 'tile', 'survivors_cap',
+                                   'return_overflow'))
 def nms_chunked(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
                 iou_threshold: float, chunk: int = 16384, tile: int = 256,
-                survivors_cap: int = None) -> jnp.ndarray:
+                survivors_cap: int = None, return_overflow: bool = False):
     """Hierarchical greedy NMS for very large N (cross-tile stitching scale).
 
     Mirrors the reference's large-N strategy (chunked NMS + one final pass
@@ -274,18 +275,28 @@ def nms_chunked(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         survivors_cap: Static capacity of the final cross-chunk pass. Boxes
             beyond the cap (lowest scores among survivors) are dropped
             conservatively. Default: ``4 * chunk``.
+        return_overflow: Also return a bool scalar that is True when the
+            per-chunk survivors exceeded ``survivors_cap`` — i.e. lower-scored
+            survivors were dropped and recall is NOT complete. Callers that
+            cannot tolerate silent truncation (the tiled-inference stitch)
+            must check this and retry with a larger cap (the torch reference
+            cannot lose boxes here — dynamic shapes,
+            ``celldetection/ops/cpn.py:189-227``).
 
     Returns:
-        Bool keep mask ``Array[N]`` in the original box order.
+        Bool keep mask ``Array[N]`` in the original box order (plus the
+        overflow scalar when ``return_overflow``).
     """
     n = boxes.shape[0]
     if n <= chunk:
-        return nms_padded(boxes, scores, valid, iou_threshold, tile=tile)
+        keep = nms_padded(boxes, scores, valid, iou_threshold, tile=tile)
+        return (keep, jnp.asarray(False)) if return_overflow else keep
     if _use_pallas_sweep(n):
         # Exact greedy via the Mosaic sweep beats the chunked approximation
         # wherever the boxes fit in VMEM — no chunking needed up to ~262k.
         from ..kernels.nms_pallas import nms_pallas_impl
-        return nms_pallas_impl(boxes, scores, valid, iou_threshold)
+        keep = nms_pallas_impl(boxes, scores, valid, iou_threshold)
+        return (keep, jnp.asarray(False)) if return_overflow else keep
     # Callers pass arbitrary chunk sizes (e.g. the reference's
     # NMS_BATCH_SIZE=50000 via batched_box_nmsi); round up to a tile multiple.
     chunk += (-chunk) % tile
@@ -312,6 +323,9 @@ def nms_chunked(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     keep = keep.reshape(-1)
 
     # Final pass across chunk boundaries over the compacted survivors.
+    # If more than ``cap`` boxes survived their chunks, the lowest-scored
+    # survivors fall off the buffer — flagged via ``return_overflow``.
+    cap_overflow = keep.sum() > cap
     surv = jnp.argsort(jnp.where(keep, s, -jnp.inf), descending=True)[:cap]
     sb = b[surv]
     sv = keep[surv]
@@ -323,7 +337,8 @@ def nms_chunked(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
 
     out = jnp.zeros((n,), bool)
     out = out.at[order_p[surv]].max(skeep)
-    return out & valid
+    out = out & valid
+    return (out, cap_overflow) if return_overflow else out
 
 
 def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,

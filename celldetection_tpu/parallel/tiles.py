@@ -95,7 +95,8 @@ def _stitch_filter(contours, offsets, overlaps, tile_size):
 
 def stitch_detections(det: dict, nms_thresh: float,
                       nms_tile: int = 256, max_candidates: Optional[int] = None,
-                      nms_chunk: int = 16384) -> dict:
+                      nms_chunk: int = 16384,
+                      survivors_cap: Optional[int] = None) -> dict:
     """Cross-tile de-dup: flatten ``[T, K]`` and greedy-NMS across tiles.
 
     Scales to gigapixel mosaics (thousands of tiles → millions of padded
@@ -111,7 +112,10 @@ def stitch_detections(det: dict, nms_thresh: float,
 
     Returns the flat dict with ``valid`` replaced by the NMS keep mask; a
     ``num_pre_valid`` scalar records the pre-compaction valid count so
-    callers can flag overflow of ``max_candidates``.
+    callers can flag overflow of ``max_candidates``, and a
+    ``survivors_overflow`` scalar flags truncation of the chunked-NMS
+    survivor buffer (lost recall unless the caller retries with
+    ``survivors_cap='full'``).
     """
     flat = {}
     t, k = det['valid'].shape
@@ -120,14 +124,20 @@ def stitch_detections(det: dict, nms_thresh: float,
         v = det.get(key)
         flat[key] = None if v is None else v.reshape((n,) + v.shape[2:])
     return stitch_flat(flat, nms_thresh, nms_tile=nms_tile,
-                       max_candidates=max_candidates, nms_chunk=nms_chunk)
+                       max_candidates=max_candidates, nms_chunk=nms_chunk,
+                       survivors_cap=survivors_cap)
 
 
 def stitch_flat(flat: dict, nms_thresh: float, nms_tile: int = 256,
-                max_candidates: Optional[int] = None, nms_chunk: int = 16384) -> dict:
+                max_candidates: Optional[int] = None, nms_chunk: int = 16384,
+                survivors_cap=None) -> dict:
     """Cross-tile NMS on an already-flattened ``[N]`` candidate dict (the
     shape-generic core of :func:`stitch_detections`; used directly when
-    capacity-retried tiles contribute rows of a different per-tile width)."""
+    capacity-retried tiles contribute rows of a different per-tile width).
+
+    ``survivors_cap='full'`` sizes the chunked NMS's cross-chunk pass to the
+    full candidate count — no survivor can be dropped (the retry setting after
+    a ``survivors_overflow``)."""
     flat = dict(flat)
     n = flat['valid'].shape[0]
     flat['num_pre_valid'] = flat['valid'].sum()
@@ -140,12 +150,18 @@ def stitch_flat(flat: dict, nms_thresh: float, nms_tile: int = 256,
                 flat[key] = flat[key][order]
         n = max_candidates
     if n > nms_chunk:
-        keep = nms_chunked(flat['boxes'], flat['scores'], flat['valid'], nms_thresh,
-                           chunk=nms_chunk, tile=nms_tile)
+        if survivors_cap == 'full':
+            survivors_cap = n
+        keep, surv_ovf = nms_chunked(flat['boxes'], flat['scores'], flat['valid'],
+                                     nms_thresh, chunk=nms_chunk, tile=nms_tile,
+                                     survivors_cap=survivors_cap,
+                                     return_overflow=True)
     else:
         keep = nms_padded(flat['boxes'], flat['scores'], flat['valid'], nms_thresh,
                           tile=nms_tile)
+        surv_ovf = jnp.asarray(False)
     flat['valid'] = keep
+    flat['survivors_overflow'] = surv_ovf
     return flat
 
 
@@ -295,10 +311,14 @@ def multihost_tiled_inference(tiled: 'TiledInference', image: np.ndarray,
 
     # replicated final cross-process NMS (deterministic → identical everywhere)
     n = len(cat['boxes'])
+    final_surv_ovf = False
     if n > tiled.nms_chunk:
-        keep = nms_chunked(jnp.asarray(cat['boxes']), jnp.asarray(cat['scores']),
-                           jnp.asarray(cat['valid']), model.nms_thresh,
-                           chunk=tiled.nms_chunk, tile=tiled.nms_tile)
+        keep, surv_ovf = nms_chunked(jnp.asarray(cat['boxes']),
+                                     jnp.asarray(cat['scores']),
+                                     jnp.asarray(cat['valid']), model.nms_thresh,
+                                     chunk=tiled.nms_chunk, tile=tiled.nms_tile,
+                                     return_overflow=True)
+        final_surv_ovf = bool(surv_ovf)
     else:
         keep = nms_padded(jnp.asarray(cat['boxes']), jnp.asarray(cat['scores']),
                           jnp.asarray(cat['valid']), model.nms_thresh,
@@ -308,14 +328,15 @@ def multihost_tiled_inference(tiled: 'TiledInference', image: np.ndarray,
     out['num_tiles'] = t
     out['num_valid'] = int(keep.sum())
     # overflow must be identical on every host: gather the per-process flags.
-    # Mirror TiledInference.__call__: both output-cap and pre-NMS candidate-cap
-    # truncation count as overflow.
+    # Mirror TiledInference.__call__: output-cap, pre-NMS candidate-cap and
+    # chunked-NMS survivor-cap truncation all count as overflow.
     local_ovf = np.asarray([int(np.asarray(local['num_valid']) > tiled.max_outputs
                                 or np.asarray(flat['num_pre_valid']) > tiled.max_candidates
+                                or bool(np.asarray(flat['survivors_overflow']))
                                 or bool(np.asarray(det['fg_overflow']).any()))],
                            np.int32)
     out['overflow'] = bool(np.asarray(
-        multihost_utils.process_allgather(local_ovf)).max())
+        multihost_utils.process_allgather(local_ovf)).max()) or final_surv_ovf
     return out
 
 
@@ -484,6 +505,13 @@ class TiledInference:
                 mask also becomes the score *upper* bound, and point-empty
                 tiles are skipped (parity: ``cpn_inference.py:110-111``).
         """
+        # conf2tweaks_ applied after construction: stale programs baked the
+        # previous norm overrides — drop them (ADVICE r4)
+        epoch = getattr(self.model, '_tweak_epoch', 0)
+        if epoch != getattr(self, '_tweak_epoch_seen', 0):
+            self._fn = self._fn_bounds = self._stitch_fn = None
+            self._fns = {}
+            self._tweak_epoch_seen = epoch
         use_bounds = mask is not None or point_mask is not None
         if use_bounds and getattr(self, '_fn_bounds', None) is None:
             self._build(use_bounds=True)
@@ -608,9 +636,11 @@ class TiledInference:
             return out
 
         max_out, max_cand = self.max_outputs, self.max_candidates
+        surv_cap = None  # None = nms_chunked default; 'full' after an overflow
         for attempt in range(4 if self.retry_overflow else 1):
-            if not retried and (max_out, max_cand) == (self.max_outputs,
-                                                       self.max_candidates):
+            if (not retried and surv_cap is None
+                    and (max_out, max_cand) == (self.max_outputs,
+                                                self.max_candidates)):
                 # fast path: cached program over the regular [T, K] layout
                 if self._stitch_fn is None:
                     mo, mc = self.max_outputs, self.max_candidates
@@ -620,33 +650,46 @@ class TiledInference:
                                                  max_candidates=mc, nms_chunk=chunk)
                         out = compact_detections(flat, mo)
                         out['num_pre_valid'] = flat['num_pre_valid']
+                        out['survivors_overflow'] = flat['survivors_overflow']
                         return out
 
                     self._stitch_fn = jax.jit(_stitch)
                 compact = jax.device_get(self._stitch_fn(det))
             else:
-                def _stitch_any(fl, mo=max_out, mc=max_cand):
+                def _stitch_any(fl, mo=max_out, mc=max_cand, sc=surv_cap):
                     flat = stitch_flat(fl, nms_thresh, nms_tile=nms_tile,
-                                       max_candidates=mc, nms_chunk=chunk)
+                                       max_candidates=mc, nms_chunk=chunk,
+                                       survivors_cap=sc)
                     out = compact_detections(flat, mo)
                     out['num_pre_valid'] = flat['num_pre_valid']
+                    out['survivors_overflow'] = flat['survivors_overflow']
                     return out
 
                 compact = jax.device_get(jax.jit(_stitch_any)(flat_candidates()))
             ovf_out = compact['num_valid'] > max_out
             ovf_cand = compact['num_pre_valid'] > max_cand
-            if not self.retry_overflow or not (ovf_out or ovf_cand):
+            ovf_surv = bool(compact['survivors_overflow'])
+            if not self.retry_overflow or not (ovf_out or ovf_cand or ovf_surv):
                 break
             # num_pre_valid is the TRUE pre-truncation candidate count and
-            # num_valid the TRUE NMS keep count, so jump straight to
-            # sufficient power-of-two caps (blind doubling could exhaust the
-            # attempt budget when the caps start far below the real counts)
-            need = int(max(compact['num_pre_valid'] if ovf_cand else 0,
-                           compact['num_valid'], 1))
-            while max_cand < need:
+            # num_valid the NMS keep count of the current candidate set, so
+            # jump straight to sufficient power-of-two caps (blind doubling
+            # could exhaust the attempt budget when the caps start far below
+            # the real counts). max_out grows only past the keep count — NOT
+            # the candidate count — keeping the post-NMS buffers small; if the
+            # enlarged candidate set yields more keeps, the next attempt's
+            # exact num_valid grows it again (ADVICE r4).
+            need_cand = int(compact['num_pre_valid']) if ovf_cand else 0
+            need_out = max(int(compact['num_valid']), 1)
+            while max_cand < need_cand:
                 max_cand *= 2
-            while max_out < min(need, max_cand):
+            while max_out < min(need_out, max_cand):
                 max_out *= 2
+            if ovf_surv:
+                # chunked-NMS survivor buffer truncated: re-run with the
+                # cross-chunk pass sized to the full candidate set — no
+                # survivor can be dropped on the retry (VERDICT r4 item 4)
+                surv_cap = 'full'
         valid = compact['valid']
         result = {}
         for k in ('contours', 'boxes', 'scores', 'classes', 'locations', 'fourier'):
@@ -656,5 +699,6 @@ class TiledInference:
         result['num_valid'] = int(compact['num_valid'])
         result['overflow'] = bool(residual_fg_overflow or
                                   compact['num_valid'] > max_out or
-                                  compact['num_pre_valid'] > max_cand)
+                                  compact['num_pre_valid'] > max_cand or
+                                  compact['survivors_overflow'])
         return result

@@ -174,3 +174,53 @@ def test_stitch_half_million_padded_candidates():
     # survivors are the higher-scoring copies, in score-sorted compacted order
     s = np.asarray(out['scores'])[np.asarray(out['valid'])]
     assert (np.diff(s) <= 1e-6).all()
+
+
+def test_nms_chunked_survivor_cap_overflow_flag():
+    """VERDICT r4 item 4: more true survivors than ``survivors_cap`` must be
+    flagged — lower-scored survivors fall off the cross-chunk buffer, and the
+    caller needs to know recall is incomplete."""
+    n = 600  # 600 disjoint boxes on a grid: every box survives its chunk
+    xs = (np.arange(n) % 40).astype(np.float32) * 20
+    ys = (np.arange(n) // 40).astype(np.float32) * 20
+    boxes = np.stack([xs, ys, xs + 10, ys + 10], -1)
+    scores = np.random.RandomState(0).rand(n).astype(np.float32)
+    valid = np.ones(n, bool)
+    # chunk=128 -> default survivors_cap = 512 < 600 survivors
+    keep, ovf = nms_chunked(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.5, chunk=128, tile=128,
+                            return_overflow=True)
+    assert bool(ovf) is True
+    assert int(np.asarray(keep).sum()) == 512  # top-512 by score kept
+    # retry with a sufficient cap: full recall, flag clear
+    keep2, ovf2 = nms_chunked(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.asarray(valid), 0.5, chunk=128, tile=128,
+                              survivors_cap=n, return_overflow=True)
+    assert bool(ovf2) is False
+    assert int(np.asarray(keep2).sum()) == n
+
+
+def test_stitch_flat_survivors_overflow_and_full_retry():
+    """stitch_flat surfaces the survivor-cap overflow and the 'full' retry
+    setting restores complete recall (TiledInference's retry path)."""
+    from celldetection_tpu.parallel.tiles import stitch_flat
+    n = 600
+    xs = (np.arange(n) % 40).astype(np.float32) * 20
+    ys = (np.arange(n) // 40).astype(np.float32) * 20
+    boxes = np.stack([xs, ys, xs + 10, ys + 10], -1)
+    flat = {
+        'boxes': jnp.asarray(boxes),
+        'scores': jnp.asarray(np.random.RandomState(0).rand(n).astype(np.float32)),
+        'valid': jnp.ones(n, bool),
+        'contours': jnp.zeros((n, 8, 2), jnp.float32),
+        'classes': jnp.ones(n, jnp.int32),
+        'locations': jnp.zeros((n, 2), jnp.float32),
+        'fourier': None,
+    }
+    out = stitch_flat(dict(flat), 0.5, nms_chunk=128, nms_tile=128)
+    assert bool(out['survivors_overflow']) is True
+    assert int(np.asarray(out['valid']).sum()) == 512
+    out_full = stitch_flat(dict(flat), 0.5, nms_chunk=128, nms_tile=128,
+                           survivors_cap='full')
+    assert bool(out_full['survivors_overflow']) is False
+    assert int(np.asarray(out_full['valid']).sum()) == n
