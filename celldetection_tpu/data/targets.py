@@ -35,6 +35,14 @@ def cpn_targets_single(labels: np.ndarray, samples: int, order: int,
     if classes is not None:
         classes = np.asarray(classes).reshape(-1)
         lab3 = labels if labels.ndim == 3 else labels[..., None]
+        max_id = int(lab3.max()) if lab3.size else 0
+        if max_id > len(classes):
+            # a short/misaligned classes array must fail loudly — clipping
+            # would silently assign the last class to out-of-range ids
+            # (ADVICE r4)
+            raise ValueError(
+                f'classes has {len(classes)} entries but labels contain '
+                f'instance id {max_id}; classes must cover ids 1..max(labels)')
         cls_img = np.zeros(lab3.shape[:2], np.int64)
         lut = np.concatenate([[0], classes.astype(np.int64)])
         for c in range(lab3.shape[-1]):

@@ -29,21 +29,38 @@ def get_warmup_factor(step: int, steps: int = 1000, factor: float = 0.001,
 
 
 def warmup_schedule(steps: int, base: float = 1.0) -> Callable[[int], float]:
-    """Linear warmup multiplier: step/steps ramp to ``base`` (parity: WarmUp)."""
+    """Linear warmup multiplier: step/steps ramp to ``base`` (parity: WarmUp).
+
+    jnp ops only — the schedule is traced inside the jitted train step
+    (``CPNTrainer`` wraps it in ``optax.scale_by_schedule``), so the step
+    argument is an abstract tracer (ADVICE r4)."""
+    import jax.numpy as jnp
+
     def fn(step):
-        return base * np.minimum((np.asarray(step) + 1) / max(steps, 1), 1.0)
+        return base * jnp.minimum((step + 1) / max(steps, 1), 1.0)
     return fn
 
 
 def sequential_schedule(schedules: Sequence[Callable[[int], float]],
                         milestones: Sequence[int]) -> Callable[[int], float]:
-    """Chain schedules at step milestones (parity: SequentialLR)."""
+    """Chain schedules at step milestones (parity: SequentialLR).
+
+    Traceable inside jit: every branch schedule is evaluated and the active
+    one selected with ``jnp.select`` — no data-dependent Python control flow
+    (ADVICE r4)."""
+    import jax.numpy as jnp
     milestones = list(milestones)
+    starts = [0] + milestones  # schedule i starts at starts[i]
 
     def fn(step):
-        idx = int(np.searchsorted(milestones, step, side='right'))
-        start = 0 if idx == 0 else milestones[idx - 1]
-        return schedules[idx](step - start)
+        step = jnp.asarray(step)
+        vals = [jnp.asarray(s(step - st), jnp.float32)
+                for s, st in zip(schedules, starts)]
+        # active index = searchsorted(milestones, step, side='right');
+        # select the first condition that holds, scanning from the last
+        # schedule backwards so earlier milestones take precedence
+        conds = [step < m for m in milestones] + [jnp.asarray(True)]
+        return jnp.select(conds, vals)
     return fn
 
 

@@ -57,8 +57,19 @@ def _optax_registry():
             (optax.chain(optax.add_decayed_weights(weight_decay),
                          optax.adadelta(lr, rho=rho, eps=eps))
              if weight_decay else optax.adadelta(lr, rho=rho, eps=eps)),
-        'Adagrad': lambda lr=1e-2, eps=1e-10, **kw: optax.adagrad(lr, eps=eps),
+        'Adagrad': _adagrad,
     }
+
+
+def _adagrad(lr=1e-2, eps=1e-10, initial_accumulator_value=0., lr_decay=0., **kw):
+    # torch Adagrad initializes the accumulator to initial_accumulator_value
+    # (default 0.), not optax's 0.1; lr_decay has no optax equivalent and is
+    # rejected rather than silently dropped (ADVICE r4)
+    import optax
+    if lr_decay:
+        raise ValueError('Adagrad lr_decay is not supported by the optax backend')
+    return optax.adagrad(lr, eps=eps,
+                         initial_accumulator_value=initial_accumulator_value)
 
 
 def conf2optimizer(settings: dict):
@@ -127,9 +138,13 @@ def conf2tweaks_(settings: dict, model):
         else:
             raise ValueError(f'Unsupported tweak target: {target!r}')
     model.tweaks = tweaks
-    # drop stale traces — cached programs baked the previous overrides
+    # drop stale traces — cached programs baked the previous overrides. The
+    # epoch counter also invalidates programs held OUTSIDE the model
+    # (CPNTrainer._step_fn, TiledInference._fns), which check it per call
+    # (ADVICE r4: tweaks applied mid-training were silently ignored there).
     if hasattr(model, '_jit_cache'):
         model._jit_cache.clear()
+    model._tweak_epoch = getattr(model, '_tweak_epoch', 0) + 1
     return model
 
 

@@ -91,3 +91,41 @@ def test_torch_init_opt_out_and_determinism():
     lc = jax.tree_util.tree_leaves(c.variables['params'])
     assert any(not np.array_equal(np.asarray(x), np.asarray(y))
                for x, y in zip(la, lc))
+
+
+def test_init_deterministic_across_processes():
+    """Same seed must give bit-identical params in a DIFFERENT process.
+
+    Round-5 regression: the per-path rng fold used Python's hash(), which is
+    salted per process (PYTHONHASHSEED) — same-seed inits differed across
+    processes, silently breaking multi-host training's replicated-params
+    invariant (and same-seed reproducibility in general). The fold now uses
+    crc32 (util/init.py).
+    """
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import jax, numpy as np\n"
+        "from celldetection_tpu import models\n"
+        "m = models.CpnU12(in_channels=1, order=3, samples=16, max_detections=64,\n"
+        "                  backbone_kwargs=dict(base_channels=16))\n"
+        "m.init(jax.random.PRNGKey(7), (1, 32, 32, 1))\n"
+        "s = sum(float(np.abs(np.asarray(l, np.float64)).sum())\n"
+        "        for l in jax.tree_util.tree_leaves(m.variables['params']))\n"
+        "print(f'CHECKSUM={s!r}')\n"
+    )
+    here = _build(seed=7)
+    local = sum(float(np.abs(np.asarray(l, np.float64)).sum())
+                for l in jax.tree_util.tree_leaves(here.variables['params']))
+    sums = set()
+    for hashseed in ('1', '2'):
+        env = dict(os.environ, PYTHONHASHSEED=hashseed, JAX_PLATFORMS='cpu')
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+        proc = subprocess.run([sys.executable, '-c', script], cwd='/root/repo',
+                              env=env, capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith('CHECKSUM=')][-1]
+        sums.add(float(line.split('=', 1)[1]))
+    assert sums == {local}, (sums, local)
