@@ -85,18 +85,28 @@ def main():
 
     t0 = time.perf_counter()
     result = tiled(mosaic, score_thresh=thresh)
+    # h5 output leg: the production CLI writes contours/scores/boxes per input
+    # (runtime/cpn_inference.py:301); timing includes it so the number covers
+    # the full host IO path the reference workload pays
+    from celldetection_tpu.util.io import to_h5
+    out_h5 = '/tmp/bench_gigapixel_out.h5'
+    to_h5(out_h5,
+          contours=np.asarray(result['contours'], np.float32),
+          scores=np.asarray(result['scores'], np.float32),
+          boxes=np.asarray(result['boxes'], np.float32))
     dt = time.perf_counter() - t0
     n_tiles = result['num_tiles']
     rec = {
         'metric': f'{args.model} {args.side}^2 mosaic end-to-end '
                   f'(tile {args.tile}, stride {args.stride}, batch {args.batch}, '
-                  f'bf16, incl. stitch+final NMS)',
+                  f'bf16, incl. stitch+final NMS+h5 write)',
         'value': round(n_tiles / dt, 3),
         'unit': 'tiles/s',
         'seconds': round(dt, 2),
         'num_tiles': int(n_tiles),
         'detections': int(len(result['boxes'])),
         'overflow': bool(result.get('overflow', False)),
+        'h5_bytes': os.path.getsize(out_h5),
     }
     print(json.dumps(rec), flush=True)
 
