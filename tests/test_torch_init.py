@@ -123,8 +123,10 @@ def test_init_deterministic_across_processes():
     for hashseed in ('1', '2'):
         env = dict(os.environ, PYTHONHASHSEED=hashseed, JAX_PLATFORMS='cpu')
         env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+        # generous timeout: the subprocess imports jax and traces an init on a
+        # 1-core box that may be running TPU benches concurrently
         proc = subprocess.run([sys.executable, '-c', script], cwd='/root/repo',
-                              env=env, capture_output=True, text=True, timeout=600)
+                              env=env, capture_output=True, text=True, timeout=1800)
         assert proc.returncode == 0, proc.stderr[-2000:]
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith('CHECKSUM=')][-1]
         sums.add(float(line.split('=', 1)[1]))
