@@ -47,7 +47,11 @@ def bench_model(model_name: str, batch: int, tile: int, iters: int, dtype_name: 
     compute_dtype = jnp.bfloat16 if dtype_name == 'bfloat16' else None
     model = ctor(in_channels=3, max_detections=2048, samples=32,
                  compute_dtype=compute_dtype)
-    model.init(jax.random.PRNGKey(0), (batch, tile, tile, 3))
+    # Init at a small spatial shape: conv/BN params are spatial-size
+    # independent (identical draws), and flax init runs EAGERLY — initting at
+    # the full bench shape materializes every unfused full-res intermediate
+    # and exhausts HBM since the heads fused (one big mid_all at 1024^2).
+    model.init(jax.random.PRNGKey(0), (1, 256, 256, 3))
 
     fwd = jax.jit(lambda v, x: model.forward_padded(v, x, nms=True))
     x = jnp.asarray(np.random.RandomState(0).rand(batch, tile, tile, 3), jnp.float32)

@@ -128,6 +128,19 @@ class GeneralizedUNet(nn.Module):
             has_lat = in_list[i] > 0
             lateral = feats[i - bridges] if has_lat else None
             top_down = last_inner
+            # Inner 1x1 channel reduction — applied BEFORE the upsample.
+            # A 1x1 conv is a per-pixel linear map, and nearest/bilinear
+            # resize is a spatial convex combination (weights sum to 1), so
+            # conv∘resize == resize∘conv exactly (incl. bias). Reducing
+            # channels first runs the conv at 1/4 the pixels and halves the
+            # upsample's HBM bytes — the decoder is memory-bound at fp32.
+            # (Reference applies it post-interpolate, unet.py:218-227;
+            # results are identical up to fp summation order.)
+            inner_inc = out_list[i + 1] if i + 1 < depth else in_list[i + 1]
+            inner_ouc = out_list[i]
+            if inner_inc > 0 and inner_ouc < inner_inc:
+                top_down = nn.Conv(inner_ouc, (1,) * (top_down.ndim - 2),
+                                   name=f'inner{i + 1}')(top_down)
             # Upsample top-down path to lateral size (or 2x for bridge levels).
             if lateral is not None:
                 t_size = lateral.shape[1:-1]
@@ -138,12 +151,6 @@ class GeneralizedUNet(nn.Module):
                     top_down = resize_nearest(top_down, t_size)
                 else:
                     top_down = resize_bilinear(top_down, t_size)
-            # Inner 1x1 channel reduction.
-            inner_inc = out_list[i + 1] if i + 1 < depth else in_list[i + 1]
-            inner_ouc = out_list[i]
-            if inner_inc > 0 and inner_ouc < inner_inc:
-                top_down = nn.Conv(inner_ouc, (1,) * (top_down.ndim - 2),
-                                   name=f'inner{i + 1}')(top_down)
             if has_lat:
                 block_in = jnp.concatenate([lateral, top_down], -1)
                 last_inner = block_cls(out_list[i], name=f'layer{i}', **block_kwargs)(block_in, train)

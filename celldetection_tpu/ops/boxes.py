@@ -191,9 +191,15 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     return out & valid
 
 
-# Mosaic-sweep selection bounds: below MIN the dispatch-bound XLA path is
-# fine; above MAX the planar box table exceeds the VMEM budget (~16 MB).
-_PALLAS_NMS_MIN = 8192
+# Mosaic-sweep selection bounds: above MAX the planar box table exceeds the
+# VMEM budget (~16 MB). MIN=2048 measured on v5e (scripts/measure_nms2048.py):
+# at the CPN per-image capacity the single VMEM kernel is ~0.2 ms faster than
+# the 16-step scan inside the CpnU22 forward (keep sets bit-identical at
+# thresholds 0.2/0.5/0.8); the big wins remain at stitch scale (1.6-6.6x for
+# 8k-131k). Override with CDT_PALLAS_NMS_MIN for experiments.
+import os as _os
+
+_PALLAS_NMS_MIN = int(_os.environ.get('CDT_PALLAS_NMS_MIN', '2048'))
 _PALLAS_NMS_MAX = 262144
 
 

@@ -66,7 +66,7 @@ def main():
 
     model = models.get_cpn(args.model)(in_channels=1, max_detections=2048,
                                        samples=32, compute_dtype=jnp.bfloat16)
-    model.init(jax.random.PRNGKey(0), (args.batch, args.tile, args.tile, 1))
+    model.init(jax.random.PRNGKey(0), (1, 256, 256, 1))  # small-shape init: identical params, avoids eager full-res OOM (see bench.py)
     # spread heads: random weights emit near-constant fields otherwise
     p = model.variables['params']
     p['score_head']['conv1']['kernel'] = p['score_head']['conv1']['kernel'] * 300.0

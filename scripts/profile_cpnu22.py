@@ -36,7 +36,9 @@ def main():
     for batch in batches:  # batch 8 OOMs on v5e 16G (see bench.py)
         model = models.CpnU22(in_channels=3, max_detections=2048, samples=32,
                               compute_dtype=jnp.bfloat16)
-        model.init(jax.random.PRNGKey(0), (batch, tile, tile, 3))
+        # Small-shape init: identical params (spatial-size independent), and
+        # eager full-shape init OOMs since the head fusion (see bench.py).
+        model.init(jax.random.PRNGKey(0), (1, 256, 256, 3))
         v = model.variables
         x = jnp.asarray(np.random.RandomState(0).rand(batch, tile, tile, 3), jnp.float32)
 

@@ -62,7 +62,7 @@ def main():
     print(f'config: batch={BATCH} tile={TILE} dtype={DTYPE}', flush=True)
     model = models.CpnResNeXt101UNet(in_channels=3, max_detections=2048, samples=32,
                                      compute_dtype=compute_dtype)
-    model.init(jax.random.PRNGKey(0), (BATCH, TILE, TILE, 3))
+    model.init(jax.random.PRNGKey(0), (1, 256, 256, 3))  # small-shape init: identical params, avoids eager full-res OOM (see bench.py)
     v = model.variables
     x = jnp.asarray(np.random.RandomState(0).rand(BATCH, TILE, TILE, 3), jnp.float32)
 

@@ -107,7 +107,15 @@ def test_init_deterministic_across_processes():
     import sys
 
     script = (
-        "import jax, numpy as np\n"
+        # Pin the child to CPU IN-PROCESS: this image's sitecustomize
+        # force-registers the axon TPU platform ahead of the JAX_PLATFORMS
+        # env var (see tests/conftest.py), so with env alone the child runs
+        # on the TPU and its ~1e-8 platform rounding differences fail the
+        # bit-equality gate. Same-platform cross-process determinism is the
+        # invariant under test.
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
         "from celldetection_tpu import models\n"
         "m = models.CpnU12(in_channels=1, order=3, samples=16, max_detections=64,\n"
         "                  backbone_kwargs=dict(base_channels=16))\n"
