@@ -112,12 +112,27 @@ def main():
 
     single = os.environ.get('BENCH_MODEL')
     names = [single] if single else ['CpnU22', 'CpnResNeXt101UNet']
+
+    def with_retry(fn, *a, attempts=3):
+        # The remote-compile relay occasionally drops a response mid-body
+        # ("response body closed before all bytes were read") — transient;
+        # retry so one hiccup doesn't void the whole benchmark run.
+        for i in range(attempts):
+            try:
+                return fn(*a)
+            except Exception as e:  # noqa: BLE001 - relay errors surface as JaxRuntimeError/INTERNAL
+                if i == attempts - 1:
+                    raise
+                import sys
+                import time as _t
+                print(f'retrying after transient error: {e}'[:300], file=sys.stderr, flush=True)
+                _t.sleep(10)
     # batch sweet spot measured on v5e (16G HBM): batch 8 OOMs for both
     # models; batch 4 beats 2 by ~11% for the flagship (8.63 vs 7.78 tiles/s)
     batch = int(os.environ.get('BENCH_BATCH', '4'))
     records = []
     for name in names:
-        records.append(bench_model(name, batch, tile, iters, dtype_name))
+        records.append(with_retry(bench_model, name, batch, tile, iters, dtype_name))
 
     # Workload-parity lines: the reference CLI default is fp32, batch 1
     # (cpn_inference.py:446,450,916). "fp32" here means fp32 params and
@@ -126,7 +141,7 @@ def main():
     if os.environ.get('BENCH_PARITY', '1') != '0':
         for name in names:
             for parity_dtype in ('float32', 'bfloat16'):
-                bench_model(name, 1, tile, iters, parity_dtype)
+                with_retry(bench_model, name, 1, tile, iters, parity_dtype)
 
     if len(records) > 1:
         # Final combined line (the driver parses the last JSON line): the

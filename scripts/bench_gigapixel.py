@@ -83,26 +83,39 @@ def main():
     warm = tiled(mosaic[:args.tile * 2, :args.tile * 2], score_thresh=thresh)
     print(f'warmup detections: {len(warm["boxes"])}', flush=True)
 
-    t0 = time.perf_counter()
-    result = tiled(mosaic, score_thresh=thresh)
-    # h5 output leg: the production CLI writes contours/scores/boxes per input
-    # (runtime/cpn_inference.py:301); timing includes it so the number covers
-    # the full host IO path the reference workload pays
+    # Two passes: the first pays the one-time XLA compile of the full-mosaic
+    # stitch program (the small warmup above only compiles the tile forward);
+    # the second is the steady state a production job pays per mosaic once
+    # programs are cached. Report both.
     from celldetection_tpu.util.io import to_h5
     out_h5 = '/tmp/bench_gigapixel_out.h5'
-    to_h5(out_h5,
-          contours=np.asarray(result['contours'], np.float32),
-          scores=np.asarray(result['scores'], np.float32),
-          boxes=np.asarray(result['boxes'], np.float32))
-    dt = time.perf_counter() - t0
+
+    def one_pass():
+        t0 = time.perf_counter()
+        result = tiled(mosaic, score_thresh=thresh)
+        # h5 output leg: the production CLI writes contours/scores/boxes per
+        # input (runtime/cpn_inference.py:301); timing includes it so the
+        # number covers the full host IO path the reference workload pays
+        to_h5(out_h5,
+              contours=np.asarray(result['contours'], np.float32),
+              scores=np.asarray(result['scores'], np.float32),
+              boxes=np.asarray(result['boxes'], np.float32))
+        return time.perf_counter() - t0, result
+
+    dt_cold, result = one_pass()
+    dt_warm, result = one_pass()
     n_tiles = result['num_tiles']
     rec = {
         'metric': f'{args.model} {args.side}^2 mosaic end-to-end '
                   f'(tile {args.tile}, stride {args.stride}, batch {args.batch}, '
-                  f'bf16, incl. stitch+final NMS+h5 write)',
-        'value': round(n_tiles / dt, 3),
+                  f'bf16, incl. host tiling+stitch+final NMS+h5 write; '
+                  f'steady state, cold pass incl. one-time stitch compile in '
+                  f'seconds_cold)',
+        'value': round(n_tiles / dt_warm, 3),
         'unit': 'tiles/s',
-        'seconds': round(dt, 2),
+        'seconds': round(dt_warm, 2),
+        'seconds_cold': round(dt_cold, 2),
+        'tiles_per_s_cold': round(n_tiles / dt_cold, 3),
         'num_tiles': int(n_tiles),
         'detections': int(len(result['boxes'])),
         'overflow': bool(result.get('overflow', False)),

@@ -64,7 +64,9 @@ def main():
     t0 = time.time()
     trainer.fit(train_data, epochs=args.epochs, batch_size=args.batch_size,
                 crop_size=args.size, prefetch=args.prefetch)
-    jax.block_until_ready(jax.tree_util.tree_leaves(trainer.state.params))
+    # device_get, not block_until_ready: the latter can return early through
+    # the axon PJRT relay and under-measure (see .claude/skills/verify)
+    jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0].ravel()[0])
     wall = time.time() - t0
     n_imgs = args.epochs * steps_per_epoch * args.batch_size
     e2e = n_imgs / wall
@@ -76,13 +78,13 @@ def main():
     state = trainer.state
     rng = jax.random.PRNGKey(1)
     state, m = trainer._step_fn(state, batch, rng)  # warm (donation layout)
-    jax.block_until_ready(m['loss'])
+    jax.device_get(m['loss'])
     n_dev = 20
     t0 = time.time()
     for i in range(n_dev):
         rng, sub = jax.random.split(rng)
         state, m = trainer._step_fn(state, batch, sub)
-    jax.block_until_ready(m['loss'])
+    jax.device_get(m['loss'])
     dev_wall = time.time() - t0
     dev_imgs = n_dev * args.batch_size / dev_wall
 
